@@ -15,7 +15,14 @@ exactly, including two load-bearing quirks:
    we reproduce it bit-for-bit (``variant='reference'``).  A standard
    symmetric Neumann variant (``variant='symmetric'``: boundary-face
    coefficients are simply absent and off-diagonal links stay intact) is also
-   provided for the CG-based solvers that want SPD(-up-to-nullspace) systems.
+   provided for the CG-based solvers that want SPD(-up-to-nullspace) systems,
+   and a ``variant='consistent'`` (default for the algorithms) that
+   additionally masks the d-entries of faces the velocity corrector never
+   updates, making the operator the *exact* Schur complement of the
+   correction step: after an exact p' solve the corrected velocity is
+   divergence-free in every cell.  The reference operator leaves a persistent
+   boundary-cell continuity defect that floors the outer residual near 1e-3;
+   the consistent variant converges to machine precision.
 
 2. **Gauge pin** (reference ``matrix_free.py:86-97``, ``coeff_matrix.py:113-121``,
    ``rhs_construction.py:19``): row (0,0) is replaced by identity and the RHS
@@ -63,6 +70,17 @@ def poisson_coefficients(d_u, d_v, *, dx, dy, rho, variant: str = "reference") -
     nx = nxp1 - 1
     ny = d_v.shape[1] - 1
 
+    if variant == "consistent":
+        # Zero the d-entries of faces the velocity corrector never touches
+        # (u rows j=0, ny-1 and v columns i=0, nx-1 are boundary-adjacent BC
+        # rows, skipped by ``update_velocity``).  With these masked, an exact
+        # p' solve makes the corrected field divergence-free in *every* cell
+        # — the reference operator (which keeps them) leaves a persistent
+        # O(a*p') defect in boundary cells that floors the outer residual
+        # near 1e-3 (the reference's own demonstrated tolerance regime).
+        d_u = d_u.at[:, 0].set(0.0).at[:, ny - 1].set(0.0)
+        d_v = d_v.at[0, :].set(0.0).at[nx - 1, :].set(0.0)
+
     a_e = jnp.pad(rho * d_u[1:nx, :] * dy, ((0, 1), (0, 0)))
     a_w = jnp.pad(rho * d_u[1:nx, :] * dy, ((1, 0), (0, 0)))
     a_n = jnp.pad(rho * d_v[:, 1:ny] * dx, ((0, 0), (0, 1)))
@@ -80,7 +98,7 @@ def poisson_coefficients(d_u, d_v, *, dx, dy, rho, variant: str = "reference") -
         a_w = a_w.at[nx - 1, :].set(0.0)
         a_n = a_n.at[:, 0].set(0.0)
         a_s = a_s.at[:, ny - 1].set(0.0)
-    elif variant != "symmetric":
+    elif variant not in ("symmetric", "consistent"):
         raise ValueError(f"Unknown poisson operator variant: {variant}")
 
     diag = diag + a_e + a_w + a_n + a_s
