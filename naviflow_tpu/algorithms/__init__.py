@@ -1,1 +1,5 @@
-from .simple import SIMPLEConfig, SolveDiagnostics, simple_solve
+from .base import SolveDiagnostics, StepInfo, run_outer_loop
+from .simple import SIMPLEConfig, simple_solve
+from .simplec import SIMPLECConfig, simplec_solve
+from .simpler import SIMPLERConfig, simpler_solve
+from .piso import PISOConfig, piso_solve

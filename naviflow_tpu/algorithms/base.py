@@ -1,0 +1,218 @@
+"""Shared outer-iteration harness for the SIMPLE-family algorithms.
+
+The reference's ``BaseAlgorithm`` (``solver/Algorithms/base_algorithm.py``)
+holds mutable fields and a Python while-loop per algorithm; here the shared
+machinery is a generic ``lax.while_loop`` driver over an algorithm-provided
+step function.  Each algorithm module supplies
+
+    step(u, v, p, extra) -> (u, v, p, extra, StepInfo)
+
+where ``extra`` is an algorithm-specific carried pytree (e.g. SIMPLEC's
+dynamic alpha_p) and ``StepInfo`` carries the per-iteration residual norms,
+inner-iteration count, and residual fields.  The driver owns convergence
+(``max(u_norm, v_norm) <= tol``, reference ``simple.py:174``), fixed-size
+history buffers, and the final diagnostics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import FlowState
+from ..ops.poisson import max_interior_divergence
+
+
+class StepInfo(NamedTuple):
+    u_norm: jax.Array
+    v_norm: jax.Array
+    p_norm: jax.Array
+    inner_iterations: jax.Array
+    r_u: jax.Array
+    r_v: jax.Array
+    r_p: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveDiagnostics:
+    """Per-iteration histories (fixed-size buffers, valid up to ``iterations``)."""
+
+    iterations: jax.Array  # int32: outer iterations executed
+    converged: jax.Array  # bool
+    final_residual: jax.Array
+    u_res_history: jax.Array  # (max_iterations,)
+    v_res_history: jax.Array
+    p_res_history: jax.Array
+    total_res_history: jax.Array
+    inner_iters_history: jax.Array  # (max_iterations,) int32 pressure inner iters
+    u_residual_field: jax.Array
+    v_residual_field: jax.Array
+    p_residual_field: jax.Array
+    max_divergence: jax.Array
+
+
+def default_loop_mode() -> str:
+    """'fused' on CPU/GPU backends; 'host' on TPU backends whose compile
+    service struggles with the whole-solve while-loop program."""
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "cpu"
+    return "fused" if backend in ("cpu", "gpu", "cuda", "rocm") else "host"
+
+
+def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: str):
+    """Return solve(u0, v0, p0) for the requested loop mode."""
+    if loop == "auto":
+        loop = default_loop_mode()
+    if loop == "fused":
+        def solve(u0, v0, p0):
+            return run_outer_loop(
+                step, u0, v0, p0, extra0_fn(u0.dtype),
+                max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
+            )
+        return jax.jit(solve)
+    if loop == "host":
+        def solve(u0, v0, p0):
+            return run_outer_loop_host(
+                step, u0, v0, p0, extra0_fn(u0.dtype),
+                max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
+            )
+        return solve
+    raise ValueError(f"Unknown loop mode: {loop}")
+
+
+def init_carry(u0, v0, p0, extra0, n: int):
+    dtype = u0.dtype
+    return dict(
+        u=u0,
+        v=v0,
+        p=p0,
+        extra=extra0,
+        it=jnp.asarray(0, jnp.int32),
+        total=jnp.asarray(jnp.inf, dtype),
+        hist_u=jnp.zeros((n,), dtype),
+        hist_v=jnp.zeros((n,), dtype),
+        hist_p=jnp.zeros((n,), dtype),
+        hist_total=jnp.zeros((n,), dtype),
+        hist_inner=jnp.zeros((n,), jnp.int32),
+        r_u=jnp.zeros_like(u0),
+        r_v=jnp.zeros_like(v0),
+        r_p=jnp.zeros_like(p0),
+    )
+
+
+def make_body(step: Callable):
+    """Carry -> carry body shared by the fused and host-driven loops."""
+
+    def body(c):
+        u, v, p, extra, info = step(c["u"], c["v"], c["p"], c["extra"])
+        dtype = c["total"].dtype
+        total = jnp.maximum(info.u_norm, info.v_norm)
+        it = c["it"]
+        return dict(
+            u=u,
+            v=v,
+            p=p,
+            extra=extra,
+            it=it + 1,
+            total=total.astype(dtype),
+            hist_u=c["hist_u"].at[it].set(info.u_norm.astype(dtype)),
+            hist_v=c["hist_v"].at[it].set(info.v_norm.astype(dtype)),
+            hist_p=c["hist_p"].at[it].set(info.p_norm.astype(dtype)),
+            hist_total=c["hist_total"].at[it].set(total.astype(dtype)),
+            hist_inner=c["hist_inner"].at[it].set(info.inner_iterations),
+            r_u=info.r_u,
+            r_v=info.r_v,
+            r_p=info.r_p,
+        )
+
+    return body
+
+
+def finalize(c, *, tolerance, dx, dy):
+    diag = SolveDiagnostics(
+        iterations=c["it"],
+        converged=c["total"] <= tolerance,
+        final_residual=c["total"],
+        u_res_history=c["hist_u"],
+        v_res_history=c["hist_v"],
+        p_res_history=c["hist_p"],
+        total_res_history=c["hist_total"],
+        inner_iters_history=c["hist_inner"],
+        u_residual_field=c["r_u"],
+        v_residual_field=c["r_v"],
+        p_residual_field=c["r_p"],
+        max_divergence=max_interior_divergence(c["u"], c["v"], dx=dx, dy=dy),
+    )
+    return FlowState(u=c["u"], v=c["v"], p=c["p"]), diag
+
+
+def run_outer_loop(
+    step: Callable,
+    u0,
+    v0,
+    p0,
+    extra0: Any,
+    *,
+    max_iterations: int,
+    tolerance: float,
+    dx: float,
+    dy: float,
+):
+    """Run ``step`` to convergence inside a single ``lax.while_loop``
+    (the fully fused form — one XLA program for the whole solve)."""
+    n = max_iterations
+    carry0 = init_carry(u0, v0, p0, extra0, n)
+    body = make_body(step)
+
+    def cond(c):
+        return (c["it"] < n) & (c["total"] > tolerance)
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    return finalize(c, tolerance=tolerance, dx=dx, dy=dy)
+
+
+def run_outer_loop_host(
+    step: Callable,
+    u0,
+    v0,
+    p0,
+    extra0: Any,
+    *,
+    max_iterations: int,
+    tolerance: float,
+    dx: float,
+    dy: float,
+    check_every: int = 10,
+):
+    """Host-driven outer loop: the per-iteration body is one jitted program;
+    the host enqueues ``check_every`` steps at a time (JAX async dispatch
+    keeps the device busy) and syncs only on the periodic convergence check.
+
+    Rationale: some TPU compile services handle the large fused
+    while-loop-of-everything program poorly (minutes of compile), while the
+    unwrapped step compiles in seconds.  The host loop trades one scalar
+    fetch per ``check_every`` iterations for that compile time.  Numerics are
+    identical to :func:`run_outer_loop`.
+    """
+    n = max_iterations
+    body = jax.jit(make_body(step), donate_argnums=0)
+    fin = jax.jit(
+        lambda c: finalize(c, tolerance=tolerance, dx=dx, dy=dy)
+    )
+
+    c = init_carry(u0, v0, p0, extra0, n)
+    done = 0
+    while done < n:
+        k = min(check_every, n - done)
+        for _ in range(k):
+            c = body(c)
+        done += k
+        if float(c["total"]) <= tolerance:
+            break
+    return fin(c)

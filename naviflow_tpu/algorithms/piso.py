@@ -1,0 +1,122 @@
+"""PISO: pressure-implicit with splitting of operators.
+
+TPU-native rebuild of the reference ``PisoSolver``
+(``naviflow_oo/solver/Algorithms/piso.py:41-175``): one relaxed momentum
+prediction, then ``n_corrections`` pressure-correction passes; between
+corrections the momentum equations are re-solved *unrelaxed* with the
+updated pressure (reference :90-103).  The correction loop is statically
+unrolled (n_corrections is a trace-time constant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bc import BoundaryConditions, enforce_pressure_bcs
+from ..core.fluid import FluidProperties
+from ..core.mesh import StructuredMesh
+from ..core.state import FlowState
+from ..ops.poisson import poisson_coefficients, pressure_rhs
+from ..solvers.dispatch import dispatch_pressure_solve
+from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_momentum
+from ..solvers.pressure import RBGSPressureConfig
+from ..solvers.velocity import update_velocity
+from .base import SolveDiagnostics, StepInfo, build_solver
+from .simple import SIMPLEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class PISOConfig(SIMPLEConfig):
+    n_corrections: int = 2
+    # Momentum re-solve between corrections (reference :90-103) is
+    # *unrelaxed* (alpha=1).  For steady problems an exact unrelaxed solve
+    # destabilizes the outer iteration (alpha_u=1 divergence); the reference
+    # survives because its re-solve is effectively a gentle approximate
+    # update.  We make that explicit: a fixed small number of Jacobi sweeps.
+    corrector_sweeps: int = 1
+
+
+def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
+    pin = cfg.poisson_variant == "reference"
+
+    corrector_cfg = JacobiMomentumConfig(n_sweeps=cfg.corrector_sweeps)
+
+    def solve_momentum(u, v, p, alpha, solver_cfg):
+        u_star, d_u, r_u, u_norm = solve_u_momentum(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha, bc=bc, cfg=solver_cfg
+        )
+        v_star, d_v, r_v, v_norm = solve_v_momentum(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha, bc=bc, cfg=solver_cfg
+        )
+        return u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm
+
+    def pressure_correct(u_star, v_star, d_u, d_v, p):
+        b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
+        pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
+                                  variant=cfg.poisson_variant)
+        return dispatch_pressure_solve(
+            b, pc, jnp.zeros_like(p), pres_cfg,
+            d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
+            variant=cfg.poisson_variant, pin=pin,
+        )
+
+    def step(u, v, p, p_max_l2):
+        # predictor (relaxed, reference :59-71)
+        u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm = solve_momentum(
+            u, v, p, cfg.alpha_u, mom_cfg
+        )
+        inner_total = jnp.asarray(0, jnp.int32)
+        p_l2 = jnp.asarray(0.0, p.dtype)
+        for k in range(cfg.n_corrections):
+            p_prime, pinfo = pressure_correct(u_star, v_star, d_u, d_v, p)
+            inner_total = inner_total + pinfo.iterations
+            p_l2 = jnp.linalg.norm(pinfo.residual_field[1:-1, 1:-1])
+            p = p + cfg.alpha_p * p_prime
+            if cfg.overwrite_boundary_pressure:
+                p = enforce_pressure_bcs(p, bc)
+            u, v = update_velocity(u_star, v_star, p_prime, d_u, d_v, bc)
+            u_star, v_star = u, v
+            if k < cfg.n_corrections - 1:
+                # unrelaxed momentum re-solve with updated p (reference :90-103)
+                u_star, v_star, d_u, d_v, _, _, _, _ = solve_momentum(
+                    u, v, p, 1.0, corrector_cfg
+                )
+        r_p = pinfo.residual_field
+        p_max_l2 = jnp.maximum(p_max_l2, p_l2)
+        p_rel = jnp.where(p_max_l2 > 0, p_l2 / p_max_l2, jnp.ones_like(p_l2))
+        info = StepInfo(u_norm=u_norm, v_norm=v_norm, p_norm=p_rel,
+                        inner_iterations=inner_total, r_u=r_u, r_v=r_v, r_p=r_p)
+        return u, v, p, p_max_l2, info
+
+    return step
+
+
+@functools.lru_cache(maxsize=64)
+def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
+    dx, dy = mesh.get_cell_sizes()
+    rho, mu = fluid.get_density(), fluid.get_viscosity()
+    step = make_piso_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
+                          mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    return build_solver(
+        step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
+        dx=dx, dy=dy, extra0_fn=lambda dt: jnp.asarray(0.0, dt), loop=loop,
+    )
+
+
+def piso_solve(
+    mesh: StructuredMesh,
+    fluid: FluidProperties,
+    bc: BoundaryConditions,
+    state: FlowState,
+    cfg: PISOConfig = PISOConfig(),
+    momentum: object = JacobiMomentumConfig(),
+    pressure: object = RBGSPressureConfig(),
+    loop: str = "auto",
+) -> Tuple[FlowState, SolveDiagnostics]:
+    fn = _build_solve(mesh, fluid, bc, cfg, momentum, pressure, loop)
+    return fn(state.u, state.v, state.p)

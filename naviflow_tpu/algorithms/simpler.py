@@ -1,0 +1,122 @@
+"""SIMPLER (SIMPLE-Revised, Patankar).
+
+TPU-native rebuild of the reference ``SimplerSolver``
+(``naviflow_oo/solver/Algorithms/simpler.py:95-211``).  Per outer iteration:
+
+1. momentum prediction with the current p (relaxed);
+2. intermediate pressure p̄ from the starred field; ``p += p̄``;
+3. momentum re-solve with the updated p (relaxed);
+4. correction pressure p' from the new starred field;
+5. ``p += alpha_p p'`` and velocity correction with p'.
+
+Convergence on ``max(u_rel, v_rel)`` of the unrelaxed momentum residuals from
+step 1; the pressure residual is ``||p - p_old|| / sqrt(n_cells)``
+(reference :200-204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bc import BoundaryConditions, enforce_pressure_bcs
+from ..core.fluid import FluidProperties
+from ..core.mesh import StructuredMesh
+from ..core.state import FlowState
+from ..ops.poisson import poisson_coefficients, pressure_rhs
+from ..solvers.dispatch import dispatch_pressure_solve
+from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_momentum
+from ..solvers.pressure import RBGSPressureConfig
+from ..solvers.velocity import update_velocity
+from .base import SolveDiagnostics, StepInfo, build_solver
+from .simple import SIMPLEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SIMPLERConfig(SIMPLEConfig):
+    pass
+
+
+def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_cfg):
+    pin = cfg.poisson_variant == "reference"
+    n_cells_sqrt = None  # set lazily from p shape
+
+    def solve_momentum(u, v, p):
+        u_star, d_u, r_u, u_norm = solve_u_momentum(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg
+        )
+        v_star, d_v, r_v, v_norm = solve_v_momentum(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg
+        )
+        return u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm
+
+    def pressure_solve(u_star, v_star, d_u, d_v, p):
+        b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
+        pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
+                                  variant=cfg.poisson_variant)
+        return dispatch_pressure_solve(
+            b, pc, jnp.zeros_like(p), pres_cfg,
+            d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
+            variant=cfg.poisson_variant, pin=pin,
+        )
+
+    def step(u, v, p, p_max_l2):
+        p_old = p
+        # 1. momentum prediction (old p)
+        u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm = solve_momentum(u, v, p)
+        # 2. intermediate pressure p_bar
+        p_bar, info1 = pressure_solve(u_star, v_star, d_u, d_v, p)
+        p = p + p_bar
+        if cfg.overwrite_boundary_pressure:
+            p = enforce_pressure_bcs(p, bc)
+        # 3. momentum with p_bar-updated pressure
+        u_star, v_star, d_u, d_v, _, _, _, _ = solve_momentum(u, v, p)
+        # 4. correction pressure p'
+        p_prime, info2 = pressure_solve(u_star, v_star, d_u, d_v, p)
+        # 5. final pressure & velocity
+        p = p + cfg.alpha_p * p_prime
+        if cfg.overwrite_boundary_pressure:
+            p = enforce_pressure_bcs(p, bc)
+        u, v = update_velocity(u_star, v_star, p_prime, d_u, d_v, bc)
+
+        n_cells = p.shape[0] * p.shape[1]
+        p_rel = jnp.linalg.norm(p - p_old) / (jnp.sqrt(jnp.asarray(n_cells, p.dtype)) + 1e-30)
+
+        info = StepInfo(
+            u_norm=u_norm, v_norm=v_norm, p_norm=p_rel,
+            inner_iterations=info1.iterations + info2.iterations,
+            r_u=r_u, r_v=r_v, r_p=info2.residual_field,
+        )
+        return u, v, p, p_max_l2, info
+
+    return step
+
+
+@functools.lru_cache(maxsize=64)
+def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
+    dx, dy = mesh.get_cell_sizes()
+    rho, mu = fluid.get_density(), fluid.get_viscosity()
+    step = make_simpler_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
+                             mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    return build_solver(
+        step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
+        dx=dx, dy=dy, extra0_fn=lambda dt: jnp.asarray(0.0, dt), loop=loop,
+    )
+
+
+def simpler_solve(
+    mesh: StructuredMesh,
+    fluid: FluidProperties,
+    bc: BoundaryConditions,
+    state: FlowState,
+    cfg: SIMPLERConfig = SIMPLERConfig(),
+    momentum: object = JacobiMomentumConfig(),
+    pressure: object = RBGSPressureConfig(),
+    loop: str = "auto",
+) -> Tuple[FlowState, SolveDiagnostics]:
+    fn = _build_solve(mesh, fluid, bc, cfg, momentum, pressure, loop)
+    return fn(state.u, state.v, state.p)

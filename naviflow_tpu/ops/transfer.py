@@ -1,0 +1,116 @@
+"""Multigrid transfer operators (restriction / prolongation / coefficient
+restriction) as static-slice jnp kernels.
+
+TPU-native rebuild of ``naviflow_oo/solver/pressure_solver/helpers/
+multigrid_helpers.py``.  Grid convention: levels are ``2**k - 1`` cells per
+axis; coarse cell (I, J) coincides with fine cell (2I+1, 2J+1), so
+``nc = (nf - 1) // 2``.
+
+Semantics preserved:
+* injection restriction ``fine[1::2, 1::2]`` (reference :8-21);
+* full-weighting restriction with weights 1/4 (center), 1/8 (edges),
+  1/16 (corners) *times four* — i.e. the h^2-scaled variant (reference
+  :23-70, Remark 2.7.5 scaling baked into the weights);
+* bilinear prolongation with coincident-point injection and boundary slabs
+  copied from the first interior line (reference :73-192);
+* harmonic-mean d-coefficient restriction with the 0.25 Poisson rescale and
+  boundary injection (reference :196-329).
+
+Everything is whole-array strided slicing — no gathers — which XLA lowers to
+cheap reshapes/reductions on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def coarse_size(nf: int) -> int:
+    return (nf - 1) // 2
+
+
+def restrict_inject(fine):
+    """Injection at odd indices (reference :8-21)."""
+    return fine[1::2, 1::2]
+
+
+def restrict_full_weighting(fine):
+    """h^2-scaled full-weighting restriction (reference :23-70)."""
+    c = fine[1:-1:2, 1:-1:2]
+    n = fine[1:-1:2, 2::2]
+    s = fine[1:-1:2, :-2:2]
+    e = fine[2::2, 1:-1:2]
+    w = fine[:-2:2, 1:-1:2]
+    ne = fine[2::2, 2::2]
+    nw = fine[:-2:2, 2::2]
+    se = fine[2::2, :-2:2]
+    sw = fine[:-2:2, :-2:2]
+    return c / 4.0 + (n + s + e + w) / 8.0 + (ne + nw + se + sw) / 16.0
+
+
+def prolong_linear(coarse, mx: int, my: int):
+    """Bilinear prolongation to an (mx, my) fine grid (reference :73-192):
+    injection at (2I+1, 2J+1), edge/face averages between, boundary slabs
+    copied from the first interior line, corners from the diagonal."""
+    fine = jnp.zeros((mx, my), coarse.dtype)
+    # coincident points
+    fine = fine.at[1::2, 1::2].set(coarse)
+    # between coarse points in i (fine rows 2I+2)
+    fine = fine.at[2:-1:2, 1::2].set(0.5 * (coarse[:-1, :] + coarse[1:, :]))
+    # between coarse points in j (fine cols 2J+2)
+    fine = fine.at[1::2, 2:-1:2].set(0.5 * (coarse[:, :-1] + coarse[:, 1:]))
+    # cell-diagonal points
+    fine = fine.at[2:-1:2, 2:-1:2].set(
+        0.25
+        * (coarse[:-1, :-1] + coarse[1:, :-1] + coarse[:-1, 1:] + coarse[1:, 1:])
+    )
+    # boundary slabs from first interior line (reference :173-186)
+    fine = fine.at[1:-1, 0].set(fine[1:-1, 1])
+    fine = fine.at[1:-1, -1].set(fine[1:-1, -2])
+    fine = fine.at[0, 1:-1].set(fine[1, 1:-1])
+    fine = fine.at[-1, 1:-1].set(fine[-2, 1:-1])
+    fine = fine.at[0, 0].set(fine[1, 1])
+    fine = fine.at[0, -1].set(fine[1, -2])
+    fine = fine.at[-1, 0].set(fine[-2, 1])
+    fine = fine.at[-1, -1].set(fine[-2, -2])
+    return fine
+
+
+def _harmonic_pair(d1, d2):
+    """Harmonic mean where both positive, else arithmetic (reference :253-260)."""
+    both = (d1 > 0) & (d2 > 0)
+    harm = 2.0 / (1.0 / jnp.where(both, d1, 1.0) + 1.0 / jnp.where(both, d2, 1.0))
+    return jnp.where(both, harm, 0.5 * (d1 + d2))
+
+
+def restrict_d_coefficients(d_u, d_v):
+    """Harmonic-mean restriction of the momentum d-fields with the 0.25
+    Poisson rescale (reference ``restrict_coefficients``, :196-329).
+
+    d_u_coarse[I, J] pairs fine faces (2I, 2J) and (2I+1, 2J); boundary
+    faces are injected.  Output shapes: ((nxc+1, nyc), (nxc, nyc+1)).
+    """
+    nxf = d_u.shape[0] - 1
+    nyf = d_v.shape[1] - 1
+    nxc, nyc = coarse_size(nxf), coarse_size(nyf)
+    dtype = d_u.dtype
+
+    # --- d_u: interior coarse faces I = 1..nxc-1, all coarse cells J ---
+    d1 = d_u[2 : nxf - 1 : 2, 0 : nyf - 1 : 2]  # rows 2I, cols 2J
+    d2 = d_u[3:nxf:2, 0 : nyf - 1 : 2]  # rows 2I+1
+    du_int = _harmonic_pair(d1, d2)  # (nxc-1, nyc)
+    du_c = jnp.zeros((nxc + 1, nyc), dtype)
+    du_c = du_c.at[1:nxc, :].set(du_int)
+    du_c = du_c.at[0, :].set(d_u[0, 0 : nyf - 1 : 2])
+    du_c = du_c.at[nxc, :].set(d_u[nxf, 0 : nyf - 1 : 2])
+
+    # --- d_v: interior coarse faces J = 1..nyc-1, all coarse cells I ---
+    e1 = d_v[0 : nxf - 1 : 2, 2 : nyf - 1 : 2]
+    e2 = d_v[0 : nxf - 1 : 2, 3:nyf:2]
+    dv_int = _harmonic_pair(e1, e2)  # (nxc, nyc-1)
+    dv_c = jnp.zeros((nxc, nyc + 1), dtype)
+    dv_c = dv_c.at[:, 1:nyc].set(dv_int)
+    dv_c = dv_c.at[:, 0].set(d_v[0 : nxf - 1 : 2, 0])
+    dv_c = dv_c.at[:, nyc].set(d_v[0 : nxf - 1 : 2, nyf])
+
+    return 0.25 * du_c, 0.25 * dv_c

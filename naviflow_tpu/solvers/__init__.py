@@ -14,3 +14,11 @@ from .pressure import (
     solve_pressure,
 )
 from .velocity import update_velocity
+from .krylov import (
+    BiCGSTABPressureConfig,
+    CGPressureConfig,
+    MGCGPressureConfig,
+    solve_pressure_krylov,
+)
+from .multigrid import MultigridConfig, multigrid_solve
+from .dispatch import dispatch_pressure_solve

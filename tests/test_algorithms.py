@@ -1,0 +1,99 @@
+"""PISO / SIMPLEC / SIMPLER end-to-end cavity tests (small grids, CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import naviflow_tpu as nf
+from naviflow_tpu.algorithms import (
+    PISOConfig,
+    SIMPLECConfig,
+    SIMPLERConfig,
+    piso_solve,
+    simplec_solve,
+    simpler_solve,
+)
+from naviflow_tpu.postprocessing.validation import infinity_norm_error
+from naviflow_tpu.solvers import KrylovMomentumConfig, RBGSPressureConfig
+from naviflow_tpu.solvers.multigrid import MultigridConfig
+
+
+def _setup(nx=31, re=100):
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+    bc = nf.lid_driven_cavity(1.0)
+    state = nf.initialize_state(mesh, bc, dtype=jnp.float64)
+    return mesh, fluid, bc, state
+
+
+MOM = KrylovMomentumConfig(tolerance=1e-10, max_iterations=100)
+PRES = RBGSPressureConfig(tolerance=1e-7, max_iterations=50000, omega=1.5)
+
+
+def test_piso_converges_and_matches_physics():
+    mesh, fluid, bc, state = _setup()
+    final, diag = piso_solve(
+        mesh, fluid, bc, state,
+        PISOConfig(max_iterations=1500, tolerance=1e-5, n_corrections=2),
+        momentum=MOM, pressure=PRES,
+    )
+    assert bool(diag.converged)
+    assert float(diag.max_divergence) < 1e-7
+    assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+
+
+def test_simplec_converges():
+    mesh, fluid, bc, state = _setup()
+    final, diag = simplec_solve(
+        mesh, fluid, bc, state,
+        SIMPLECConfig(max_iterations=2000, tolerance=1e-6),
+        momentum=MOM, pressure=PRES,
+    )
+    assert bool(diag.converged), float(diag.final_residual)
+    assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+
+
+def test_simpler_converges():
+    mesh, fluid, bc, state = _setup()
+    final, diag = simpler_solve(
+        mesh, fluid, bc, state,
+        SIMPLERConfig(max_iterations=1500, tolerance=1e-5),
+        momentum=MOM, pressure=PRES,
+    )
+    assert bool(diag.converged)
+    assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+
+
+def test_simple_with_multigrid_pressure():
+    """SIMPLE + GMG V-cycle pressure solve (the reference's 05 geo_multigrid
+    configuration, TPU-native)."""
+    from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
+
+    mesh, fluid, bc, state = _setup()
+    final, diag = simple_solve(
+        mesh, fluid, bc, state,
+        SIMPLEConfig(max_iterations=1500, tolerance=1e-5),
+        momentum=MOM,
+        pressure=MultigridConfig(tolerance=1e-5, max_cycles=30, cycle_type="v"),
+    )
+    assert bool(diag.converged)
+    assert float(diag.max_divergence) < 1e-6
+    assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+    # multigrid should need only a handful of cycles per outer iteration
+    inner = np.asarray(diag.inner_iters_history[: int(diag.iterations)])
+    assert inner.max() <= 30 and np.median(inner) <= 12
+
+
+def test_simple_with_mgcg_pressure():
+    from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
+    from naviflow_tpu.solvers import MGCGPressureConfig
+
+    mesh, fluid, bc, state = _setup()
+    final, diag = simple_solve(
+        mesh, fluid, bc, state,
+        SIMPLEConfig(max_iterations=1500, tolerance=1e-5),
+        momentum=MOM,
+        pressure=MGCGPressureConfig(tolerance=1e-7, max_iterations=50),
+    )
+    assert bool(diag.converged)
+    assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
