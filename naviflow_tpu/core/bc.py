@@ -150,6 +150,49 @@ def apply_velocity_bcs(u, v, bc: BoundaryConditions):
     return u, v
 
 
+def apply_velocity_bcs_window(u_loc, v_loc, bc: BoundaryConditions, *, gi0, gj0, nx, ny):
+    """Window form of :func:`apply_velocity_bcs` for domain-decomposed
+    blocks: boundary slabs become masks over global indices.
+
+    ``u_loc``: (nxl+1, nyl) faces gi0.. x cells gj0..; ``v_loc``:
+    (nxl, nyl+1).  Identical semantics to the global function (zero all
+    boundary slabs, then VELOCITY sides overwrite in top/bottom/left/right
+    order, corners owned by the velocity side).
+    """
+    import jax
+
+    dtype = u_loc.dtype
+    GIu = gi0 + jax.lax.broadcasted_iota(jnp.int32, u_loc.shape, 0)
+    GJu = gj0 + jax.lax.broadcasted_iota(jnp.int32, u_loc.shape, 1)
+    GIv = gi0 + jax.lax.broadcasted_iota(jnp.int32, v_loc.shape, 0)
+    GJv = gj0 + jax.lax.broadcasted_iota(jnp.int32, v_loc.shape, 1)
+
+    u_masks = {
+        "top": GJu == ny - 1,
+        "bottom": GJu == 0,
+        "left": GIu == 0,
+        "right": GIu == nx,
+    }
+    v_masks = {
+        "top": GJv == ny,
+        "bottom": GJv == 0,
+        "left": GIv == 0,
+        "right": GIv == nx - 1,
+    }
+    zero = jnp.asarray(0.0, dtype)
+    u, v = u_loc, v_loc
+    for name in _SIDES:
+        u = jnp.where(u_masks[name], zero, u)
+        v = jnp.where(v_masks[name], zero, v)
+    for name in _SIDES:
+        s = bc.side(name)
+        if s.kind != BoundaryType.VELOCITY:
+            continue
+        u = jnp.where(u_masks[name], jnp.asarray(s.u, dtype), u)
+        v = jnp.where(v_masks[name], jnp.asarray(s.v, dtype), v)
+    return u, v
+
+
 def enforce_pressure_bcs(p, bc: BoundaryConditions):
     """Zero-gradient (Neumann) pressure boundary enforcement.
 

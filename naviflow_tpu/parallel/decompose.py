@@ -1,0 +1,195 @@
+"""Explicit staggered domain decomposition over a 2-D device mesh.
+
+This is the fully sharded multi-chip path (SURVEY §7 step 7): the global
+staggered fields are decomposed into per-device blocks, every stencil op
+runs on the local block, and 1-cell halos ride the ICI via
+``jax.lax.ppermute`` inside ``shard_map``.  Reductions (residual norms,
+Krylov dot products) are ``psum`` collectives.
+
+Block layout (device (bx, by) of an ('x','y') mesh; global p grid (nx, ny)
+with nx % mx == 0 and ny % my == 0; nxl = nx//mx, nyl = ny//my):
+
+* cells  gi0..gi0+nxl-1 x gj0..gj0+nyl-1, gi0 = bx*nxl, gj0 = by*nyl;
+* u faces gi0..gi0+nxl (the faces on block edges are **duplicated** between
+  x-neighbors and kept consistent by construction — both owners compute
+  them from identical halo data);
+* v faces gj0..gj0+nyl (duplicated between y-neighbors).
+
+The blocked *global* arrays stack the local blocks, so they shard evenly:
+``U_blk`` (mx*(nxl+1), my*nyl), ``V_blk`` (mx*nxl, my*(nyl+1)),
+``P_blk`` (nx, ny) — all ``NamedSharding(P('x','y'))``.
+
+Operator assembly on blocks reuses the window-form kernels
+(``ops/windowed.py``) whose boundary handling is global-index masks, so the
+distributed step is *bit-compatible* with the single-device step (verified
+in ``tests/test_distributed.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.bc import BoundaryConditions, apply_velocity_bcs_window
+from ..core.mesh import StructuredMesh
+from ..ops.powerlaw import relax_coefficients
+from ..ops.stencil import StencilCoeffs, apply_stencil, neighbor_sum
+from ..ops.windowed import (
+    poisson_coefficients_window,
+    u_coefficients_window,
+    v_coefficients_window,
+)
+
+
+# --------------------------------------------------------------------------
+# blocked layout conversions (host/jit-side, static loops over blocks)
+# --------------------------------------------------------------------------
+
+def to_blocked_u(u, mx: int):
+    """(nx+1, ny) -> (mx*(nxl+1), ny): per-block face rows with duplicated
+    shared edges."""
+    nx = u.shape[0] - 1
+    nxl = nx // mx
+    return jnp.concatenate([u[b * nxl : (b + 1) * nxl + 1, :] for b in range(mx)], 0)
+
+
+def from_blocked_u(u_blk, mx: int):
+    nrow = u_blk.shape[0] // mx
+    parts = [u_blk[b * nrow : (b + 1) * nrow, :] for b in range(mx)]
+    return jnp.concatenate([p[:-1] for p in parts[:-1]] + [parts[-1]], 0)
+
+
+def to_blocked_v(v, my: int):
+    ny = v.shape[1] - 1
+    nyl = ny // my
+    return jnp.concatenate([v[:, b * nyl : (b + 1) * nyl + 1] for b in range(my)], 1)
+
+
+def from_blocked_v(v_blk, my: int):
+    ncol = v_blk.shape[1] // my
+    parts = [v_blk[:, b * ncol : (b + 1) * ncol] for b in range(my)]
+    return jnp.concatenate([p[:, :-1] for p in parts[:-1]] + [parts[-1]], 1)
+
+
+# --------------------------------------------------------------------------
+# halo exchange (inside shard_map)
+# --------------------------------------------------------------------------
+
+def _perm_up(n):
+    return [(i, i + 1) for i in range(n - 1)]
+
+
+def _perm_down(n):
+    return [(i + 1, i) for i in range(n - 1)]
+
+
+def _halo(a, axis: int, name: str, n_shards: int, lo_send: int, hi_send: int):
+    """Return (halo_lo, halo_hi): 1-wide slices received from the lower /
+    upper neighbor along mesh axis ``name`` (zeros at physical edges).
+
+    ``lo_send``: index of MY slice that the upper neighbor uses as its lo
+    halo; ``hi_send``: index of my slice the lower neighbor uses as hi halo.
+    """
+    take = lambda idx: jax.lax.slice_in_dim(a, idx % a.shape[axis], (idx % a.shape[axis]) + 1, axis=axis)
+    if n_shards == 1:
+        z = jnp.zeros_like(take(0))
+        return z, z
+    halo_lo = jax.lax.ppermute(take(lo_send), name, _perm_up(n_shards))
+    halo_hi = jax.lax.ppermute(take(hi_send), name, _perm_down(n_shards))
+    return halo_lo, halo_hi
+
+
+@dataclasses.dataclass(frozen=True)
+class Decomp:
+    """Static decomposition descriptor."""
+
+    nx: int
+    ny: int
+    mx: int
+    my: int
+
+    @property
+    def nxl(self):
+        return self.nx // self.mx
+
+    @property
+    def nyl(self):
+        return self.ny // self.my
+
+    def __post_init__(self):
+        if self.nx % self.mx or self.ny % self.my:
+            raise ValueError(
+                f"grid ({self.nx},{self.ny}) must divide the mesh ({self.mx},{self.my})"
+            )
+
+
+def extend_u(u_loc, dec: Decomp):
+    """(nxl+1, nyl) -> (nxl+3, nyl+2) with neighbor halos (zeros at edges).
+
+    x halos: the neighbor's *second* face from the shared edge (the shared
+    face itself is already duplicated locally); y halos: neighbor cell rows.
+    """
+    lo_x, hi_x = _halo(u_loc, 0, "x", dec.mx, lo_send=-2, hi_send=1)
+    u = jnp.concatenate([lo_x, u_loc, hi_x], 0)
+    lo_y, hi_y = _halo(u, 1, "y", dec.my, lo_send=-1, hi_send=0)
+    return jnp.concatenate([lo_y, u, hi_y], 1)
+
+
+def extend_v(v_loc, dec: Decomp):
+    """(nxl, nyl+1) -> (nxl+2, nyl+3)."""
+    lo_x, hi_x = _halo(v_loc, 0, "x", dec.mx, lo_send=-1, hi_send=0)
+    v = jnp.concatenate([lo_x, v_loc, hi_x], 0)
+    lo_y, hi_y = _halo(v, 1, "y", dec.my, lo_send=-2, hi_send=1)
+    return jnp.concatenate([lo_y, v, hi_y], 1)
+
+
+def extend_p(p_loc, dec: Decomp):
+    """(nxl, nyl) -> (nxl+2, nyl+2)."""
+    lo_x, hi_x = _halo(p_loc, 0, "x", dec.mx, lo_send=-1, hi_send=0)
+    p = jnp.concatenate([lo_x, p_loc, hi_x], 0)
+    lo_y, hi_y = _halo(p, 1, "y", dec.my, lo_send=-1, hi_send=0)
+    return jnp.concatenate([lo_y, p, hi_y], 1)
+
+
+# --------------------------------------------------------------------------
+# distributed reductions / stencil helpers
+# --------------------------------------------------------------------------
+
+def pnorm2(x):
+    """Global L2 norm of a (possibly masked) local field."""
+    s = jax.lax.psum(jax.lax.psum(jnp.sum(x * x), "x"), "y")
+    return jnp.sqrt(s)
+
+
+def pmean(x, count):
+    s = jax.lax.psum(jax.lax.psum(jnp.sum(x), "x"), "y")
+    return s / count
+
+
+def apply_stencil_halo(x_loc, c: StencilCoeffs, extend_fn, dec: Decomp):
+    """A @ x on a local block: extend with halos, apply, crop."""
+    x_ext = extend_fn(x_loc, dec)
+    return (
+        c.a_p * x_loc
+        - c.a_e * x_ext[2:, 1:-1]
+        - c.a_w * x_ext[:-2, 1:-1]
+        - c.a_n * x_ext[1:-1, 2:]
+        - c.a_s * x_ext[1:-1, :-2]
+    )
+
+
+def neighbor_sum_halo(x_loc, c: StencilCoeffs, extend_fn, dec: Decomp):
+    x_ext = extend_fn(x_loc, dec)
+    return (
+        c.a_e * x_ext[2:, 1:-1]
+        + c.a_w * x_ext[:-2, 1:-1]
+        + c.a_n * x_ext[1:-1, 2:]
+        + c.a_s * x_ext[1:-1, :-2]
+    )

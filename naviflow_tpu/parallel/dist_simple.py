@@ -1,0 +1,323 @@
+"""Distributed SIMPLE: the full pressure–velocity coupling step on a 2-D
+device mesh with explicit halo exchange.
+
+Every piece of the single-device step has a block-local counterpart here:
+
+=====================  =======================================
+single-device          distributed (this module)
+=====================  =======================================
+apply_velocity_bcs     apply_velocity_bcs_window (global masks)
+u/v coefficient ops    ops/windowed.py on halo-extended blocks
+Jacobi momentum sweep  masked sweep + per-sweep halo exchange
+pressure RBGS / CG     global-parity sweeps / psum dot products
+velocity correction    masked update with p' halo
+residual norms         psum reductions, duplicated faces counted once
+=====================  =======================================
+
+The step runs under ``shard_map`` (mesh axes 'x', 'y'); the outer loop is
+host-driven (same contract as ``algorithms.base.run_outer_loop_host``).
+Trajectories are verified bit-compatible with the single-device solver in
+``tests/test_distributed.py`` on an 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.bc import BoundaryConditions, apply_velocity_bcs_window
+from ..core.fluid import FluidProperties
+from ..core.mesh import StructuredMesh
+from ..core.state import FlowState
+from ..ops.powerlaw import relax_coefficients
+from ..ops.windowed import (
+    poisson_coefficients_window,
+    u_coefficients_window,
+    v_coefficients_window,
+)
+from .decompose import (
+    Decomp,
+    apply_stencil_halo,
+    extend_p,
+    extend_u,
+    extend_v,
+    from_blocked_u,
+    from_blocked_v,
+    neighbor_sum_halo,
+    pnorm2,
+    to_blocked_u,
+    to_blocked_v,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistributedConfig:
+    """Solver knobs for the distributed step (kept deliberately lean:
+    Jacobi momentum sweeps + RBGS or Jacobi-PCG pressure)."""
+
+    alpha_p: float = 0.3
+    alpha_u: float = 0.7
+    max_iterations: int = 1000
+    tolerance: float = 1e-5
+    momentum_sweeps: int = 2
+    pressure_solver: str = "cg"  # 'cg' | 'rbgs'
+    pressure_tol: float = 1e-6
+    pressure_max_iter: int = 2000
+    rbgs_omega: float = 1.5
+    check_every: int = 10
+
+
+def _iotas(shape, gi0, gj0):
+    gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gj = gj0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return gi, gj
+
+
+def make_distributed_step(
+    mesh_dev: Mesh,
+    dec: Decomp,
+    bc: BoundaryConditions,
+    cfg: DistributedConfig,
+    *,
+    dx,
+    dy,
+    rho,
+    mu,
+):
+    """Build step(U_blk, V_blk, P_blk) -> (U, V, P, total_norm) under
+    shard_map."""
+    nx, ny = dec.nx, dec.ny
+    nxl, nyl = dec.nxl, dec.nyl
+    alpha = cfg.alpha_u
+
+    def local_step(u, v, p):
+        gi0 = jax.lax.axis_index("x") * nxl
+        gj0 = jax.lax.axis_index("y") * nyl
+        u, v = apply_velocity_bcs_window(u, v, bc, gi0=gi0, gj0=gj0, nx=nx, ny=ny)
+
+        # ---- momentum predictors -------------------------------------------
+        u_ext = extend_u(u, dec)
+        v_ext = extend_v(v, dec)
+        p_ext = extend_p(p, dec)
+        cu = u_coefficients_window(u_ext, v_ext, p_ext, gi0=gi0, gj0=gj0,
+                                   nx=nx, ny=ny, dx=dx, dy=dy, rho=rho, mu=mu)
+        cv = v_coefficients_window(u_ext, v_ext, p_ext, gi0=gi0, gj0=gj0,
+                                   nx=nx, ny=ny, dx=dx, dy=dy, rho=rho, mu=mu)
+        cur = relax_coefficients(cu, u, alpha)
+        cvr = relax_coefficients(cv, v, alpha)
+
+        GIu, GJu = _iotas(u.shape, gi0, gj0)
+        GIv, GJv = _iotas(v.shape, gi0, gj0)
+        mask_u = (GIu >= 1) & (GIu <= nx - 1) & (GJu >= 1) & (GJu <= ny - 2)
+        mask_v = (GIv >= 1) & (GIv <= nx - 2) & (GJv >= 1) & (GJv <= ny - 1)
+
+        safe_apu = jnp.where(cur.a_p == 0, jnp.ones_like(cur.a_p), cur.a_p)
+        safe_apv = jnp.where(cvr.a_p == 0, jnp.ones_like(cvr.a_p), cvr.a_p)
+
+        def u_sweep(_, x):
+            x_new = (neighbor_sum_halo(x, cur, extend_u, dec) + cur.src) / safe_apu
+            return jnp.where(mask_u, x_new, x)
+
+        def v_sweep(_, x):
+            x_new = (neighbor_sum_halo(x, cvr, extend_v, dec) + cvr.src) / safe_apv
+            return jnp.where(mask_v, x_new, x)
+
+        u_star = jax.lax.fori_loop(0, cfg.momentum_sweeps, u_sweep, u)
+        v_star = jax.lax.fori_loop(0, cfg.momentum_sweeps, v_sweep, v)
+        u_star, v_star = apply_velocity_bcs_window(
+            u_star, v_star, bc, gi0=gi0, gj0=gj0, nx=nx, ny=ny
+        )
+
+        d_u = jnp.where(jnp.abs(cur.a_p) > 1e-12, dy / cur.a_p, 0.0)
+        d_v = jnp.where(jnp.abs(cvr.a_p) > 1e-12, dx / cvr.a_p, 0.0)
+
+        # unrelaxed residual norms (interior, duplicated faces counted once)
+        li = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        own_u = li < nxl  # the shared right-edge face belongs to the neighbor
+        r_u = cu.src - apply_stencil_halo(u_star, cu, extend_u, dec)
+        u_norm = pnorm2(jnp.where(mask_u & own_u, r_u, 0.0))
+        lj = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        own_v = lj < nyl
+        r_v = cv.src - apply_stencil_halo(v_star, cv, extend_v, dec)
+        v_norm = pnorm2(jnp.where(mask_v & own_v, r_v, 0.0))
+
+        # ---- pressure correction --------------------------------------------
+        b = rho * (
+            (u_star[:-1, :] - u_star[1:, :]) * dy
+            + (v_star[:, :-1] - v_star[:, 1:]) * dx
+        )
+        pc = poisson_coefficients_window(
+            d_u, d_v, gi0=gi0, gj0=gj0, nx=nx, ny=ny, dx=dx, dy=dy, rho=rho,
+            variant="consistent",
+        )
+        p_prime, p_res_field = _solve_pressure_local(b, pc, dec, cfg, gi0, gj0)
+
+        # ---- updates ---------------------------------------------------------
+        p_new = p + cfg.alpha_p * p_prime
+
+        pp_ext = extend_p(p_prime, dec)
+        grad_u = pp_ext[:-1, 1:-1] - pp_ext[1:, 1:-1]  # p'[I-1] - p'[I]
+        u_new = jnp.where(mask_u, u_star + d_u * grad_u, u_star)
+        grad_v = pp_ext[1:-1, :-1] - pp_ext[1:-1, 1:]  # p'[J-1] - p'[J]
+        v_new = jnp.where(mask_v, v_star + d_v * grad_v, v_star)
+        u_new, v_new = apply_velocity_bcs_window(
+            u_new, v_new, bc, gi0=gi0, gj0=gj0, nx=nx, ny=ny
+        )
+
+        total = jnp.maximum(u_norm, v_norm)
+        return u_new, v_new, p_new, total
+
+    spec = P("x", "y")
+    rep = P()
+    return shard_map(
+        local_step,
+        mesh=mesh_dev,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, rep),
+        check_rep=False,
+    )
+
+
+def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0):
+    """Distributed pressure solve on local blocks.  Returns (p', residual)."""
+    n_cells = dec.nx * dec.ny
+
+    def A(x):
+        return apply_stencil_halo(x, _pc_as_stencil(pc), extend_p, dec)
+
+    def zero_mean(x):
+        s = jax.lax.psum(jax.lax.psum(jnp.sum(x), "x"), "y")
+        return x - s / n_cells
+
+    bnorm = pnorm2(b)
+    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    if cfg.pressure_solver == "rbgs":
+        GI, GJ = _iotas(b.shape, gi0, gj0)
+        red = (GI + GJ) % 2 == 0
+        inv_d = 1.0 / jnp.where(pc.diag < 1e-15, jnp.ones_like(pc.diag), pc.diag)
+        st = _pc_as_stencil(pc)
+
+        def half(p, color):
+            nb = neighbor_sum_halo(p, st, extend_p, dec)
+            p_new = (b + nb) * inv_d
+            return jnp.where(color, p + cfg.rbgs_omega * (p_new - p), p)
+
+        def body(carry):
+            p, k, _ = carry
+            p = half(p, red)
+            p = half(p, jnp.logical_not(red))
+            rel = pnorm2(b - A(p)) / safe_b
+            return (p, k + 1, rel)
+
+        def cond(carry):
+            _, k, rel = carry
+            return (k < cfg.pressure_max_iter) & (rel >= cfg.pressure_tol)
+
+        p0 = jnp.zeros_like(b)
+        p, k, rel = jax.lax.while_loop(
+            cond, body, (p0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, b.dtype))
+        )
+    else:  # Jacobi-preconditioned CG with psum dots
+        inv_d = 1.0 / jnp.where(pc.diag < 1e-15, jnp.ones_like(pc.diag), pc.diag)
+        M = lambda r: r * inv_d
+        pdot = lambda a, c: jax.lax.psum(jax.lax.psum(jnp.sum(a * c), "x"), "y")
+
+        b0 = zero_mean(b)
+        x = jnp.zeros_like(b)
+        r = b0
+        z = M(r)
+        pvec = z
+        rz = pdot(r, z)
+        tol_abs = cfg.pressure_tol * safe_b
+
+        def cond(carry):
+            x, r, z, pvec, rz, k = carry
+            return (k < cfg.pressure_max_iter) & (pnorm2(r) > tol_abs)
+
+        def body(carry):
+            x, r, z, pvec, rz, k = carry
+            Ap = A(pvec)
+            pAp = pdot(pvec, Ap)
+            alpha = rz / jnp.where(pAp == 0, 1e-30, pAp)
+            x = x + alpha * pvec
+            r_new = r - alpha * Ap
+            z_new = M(r_new)
+            rz_new = pdot(r_new, z_new)
+            beta = pdot(r_new - r, z_new) / jnp.where(rz == 0, 1e-30, rz)
+            pvec = z_new + beta * pvec
+            return (x, r_new, z_new, pvec, rz_new, k + 1)
+
+        x, r, *_ = jax.lax.while_loop(
+            cond, body, (x, r, z, pvec, rz, jnp.asarray(0, jnp.int32))
+        )
+        p = x
+
+    p = zero_mean(p)
+    return p, b - A(p)
+
+
+def _pc_as_stencil(pc):
+    from ..ops.stencil import StencilCoeffs
+
+    return StencilCoeffs(a_e=pc.a_e, a_w=pc.a_w, a_n=pc.a_n, a_s=pc.a_s,
+                         a_p=pc.diag, src=jnp.zeros_like(pc.diag))
+
+
+def distributed_simple_solve(
+    mesh: StructuredMesh,
+    fluid: FluidProperties,
+    bc: BoundaryConditions,
+    state: FlowState,
+    device_mesh: Mesh,
+    cfg: DistributedConfig = DistributedConfig(),
+) -> Tuple[FlowState, dict]:
+    """Host-driven distributed SIMPLE solve.
+
+    Requires nx % mesh_x == 0 and ny % mesh_y == 0.  Returns the final state
+    (logical global layout) and a diagnostics dict.
+    """
+    mx = device_mesh.shape["x"]
+    my = device_mesh.shape["y"]
+    dec = Decomp(nx=mesh.nx, ny=mesh.ny, mx=mx, my=my)
+    dx, dy = mesh.get_cell_sizes()
+
+    step = make_distributed_step(
+        device_mesh, dec, bc, cfg, dx=dx, dy=dy,
+        rho=fluid.get_density(), mu=fluid.get_viscosity(),
+    )
+    spec = NamedSharding(device_mesh, P("x", "y"))
+    step = jax.jit(step, in_shardings=(spec, spec, spec),
+                   out_shardings=(spec, spec, spec, NamedSharding(device_mesh, P())))
+
+    u_blk = jax.device_put(to_blocked_u(state.u, mx), spec)
+    v_blk = jax.device_put(to_blocked_v(state.v, my), spec)
+    p_blk = jax.device_put(state.p, spec)
+
+    history = []
+    total = float("inf")
+    it = 0
+    while it < cfg.max_iterations and total > cfg.tolerance:
+        k = min(cfg.check_every, cfg.max_iterations - it)
+        for _ in range(k):
+            u_blk, v_blk, p_blk, tot = step(u_blk, v_blk, p_blk)
+        it += k
+        total = float(tot)
+        history.append(total)
+
+    final = FlowState(
+        u=from_blocked_u(u_blk, mx), v=from_blocked_v(v_blk, my), p=p_blk
+    )
+    diag = dict(
+        iterations=it,
+        converged=total <= cfg.tolerance,
+        final_residual=total,
+        residual_history=history,
+    )
+    return final, diag
