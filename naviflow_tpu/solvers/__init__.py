@@ -6,6 +6,7 @@ from .momentum import (
     solve_v_momentum,
 )
 from .pressure import (
+    DirectPressureConfig,
     JacobiPressureConfig,
     PressureSolveInfo,
     RBGSPressureConfig,

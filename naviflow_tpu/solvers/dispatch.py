@@ -15,12 +15,18 @@ from .krylov import (
     solve_pressure_krylov,
 )
 from .multigrid import MultigridConfig, multigrid_solve
-from .pressure import JacobiPressureConfig, RBGSPressureConfig, solve_pressure
+from .pressure import (
+    DirectPressureConfig,
+    JacobiPressureConfig,
+    RBGSPressureConfig,
+    solve_pressure,
+)
 
-STATIONARY_KINDS = ("jacobi", "rbgs")
+STATIONARY_KINDS = ("jacobi", "rbgs", "direct")
 KRYLOV_KINDS = ("cg", "bicgstab", "mgcg")
 
 PRESSURE_CONFIG_TYPES = (
+    DirectPressureConfig,
     JacobiPressureConfig,
     RBGSPressureConfig,
     CGPressureConfig,

@@ -26,6 +26,14 @@ import jax
 import jax.numpy as jnp
 
 from ..core.bc import BoundaryConditions, apply_velocity_bcs
+from ..ops.highorder import (
+    MomentumCoeffs9,
+    apply_momentum9,
+    neighbor_sum9,
+    relax_coefficients9,
+    u_momentum_coefficients9,
+    v_momentum_coefficients9,
+)
 from ..ops.powerlaw import (
     d_coefficient,
     relax_coefficients,
@@ -35,12 +43,35 @@ from ..ops.powerlaw import (
 from ..ops.stencil import StencilCoeffs, apply_stencil, interior_mask, neighbor_sum
 
 
+def _apply(x, c):
+    return apply_momentum9(x, c) if isinstance(c, MomentumCoeffs9) else apply_stencil(x, c)
+
+
+def _nbsum(x, c):
+    return neighbor_sum9(x, c) if isinstance(c, MomentumCoeffs9) else neighbor_sum(x, c)
+
+
+def _assemble_coeffs(u, v, p, *, dx, dy, rho, mu, scheme, is_u):
+    if scheme == "power_law":
+        fn = u_momentum_coefficients if is_u else v_momentum_coefficients
+        return fn(u if is_u else u, v, p, dx=dx, dy=dy, rho=rho, mu=mu)
+    fn = u_momentum_coefficients9 if is_u else v_momentum_coefficients9
+    return fn(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, scheme=scheme)
+
+
+def _relax(coeffs, field, alpha):
+    if isinstance(coeffs, MomentumCoeffs9):
+        return relax_coefficients9(coeffs, field, alpha)
+    return relax_coefficients(coeffs, field, alpha)
+
+
 @dataclasses.dataclass(frozen=True)
 class JacobiMomentumConfig:
     """Fixed-sweep weighted-Jacobi momentum solve
     (reference ``jacobi_solver.JacobiMomentumSolver``)."""
 
     n_sweeps: int = 1
+    scheme: str = "power_law"  # 'power_law' | 'quick' | 'luds' | 'upwind'
     kind: str = "jacobi"
 
 
@@ -51,6 +82,7 @@ class RBGSMomentumConfig:
 
     n_sweeps: int = 2
     omega: float = 1.0
+    scheme: str = "power_law"
     kind: str = "rbgs"
 
 
@@ -63,6 +95,7 @@ class KrylovMomentumConfig:
 
     tolerance: float = 1e-7
     max_iterations: int = 50
+    scheme: str = "power_law"
     kind: str = "bicgstab"
 
 
@@ -75,7 +108,7 @@ def _v_interior_mask(shape):
     return interior_mask(shape, lo_i=1, hi_i=1, lo_j=1, hi_j=1)
 
 
-def _jacobi_sweeps(x0, c: StencilCoeffs, mask, n_sweeps: int):
+def _jacobi_sweeps(x0, c, mask, n_sweeps: int):
     """n weighted-Jacobi sweeps on interior nodes of the (relaxed) system.
 
     x_new = (sum(a_nb x_nb) + src) / a_p on masked nodes
@@ -84,14 +117,18 @@ def _jacobi_sweeps(x0, c: StencilCoeffs, mask, n_sweeps: int):
     safe_ap = jnp.where(c.a_p == 0, jnp.ones_like(c.a_p), c.a_p)
 
     def body(_, x):
-        x_new = (neighbor_sum(x, c) + c.src) / safe_ap
+        x_new = (_nbsum(x, c) + c.src) / safe_ap
         return jnp.where(mask, x_new, x)
 
     return jax.lax.fori_loop(0, n_sweeps, body, x0)
 
 
-def _rbgs_sweeps(x0, c: StencilCoeffs, mask, n_sweeps: int, omega: float):
-    """Red-black Gauss-Seidel with SOR on interior nodes."""
+def _rbgs_sweeps(x0, c, mask, n_sweeps: int, omega: float):
+    """Red-black Gauss-Seidel with SOR on interior nodes.
+
+    For 9-point (second-neighbor) schemes the two-color split is only an
+    approximate Gauss-Seidel (the +-2 links connect same-color nodes), which
+    is fine as a relaxation method."""
     shape = x0.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -100,7 +137,7 @@ def _rbgs_sweeps(x0, c: StencilCoeffs, mask, n_sweeps: int, omega: float):
     safe_ap = jnp.where(c.a_p == 0, jnp.ones_like(c.a_p), c.a_p)
 
     def half(x, color):
-        x_new = x + omega * ((neighbor_sum(x, c) + c.src) / safe_ap - x)
+        x_new = x + omega * ((_nbsum(x, c) + c.src) / safe_ap - x)
         return jnp.where(color, x_new, x)
 
     def body(_, x):
@@ -109,13 +146,13 @@ def _rbgs_sweeps(x0, c: StencilCoeffs, mask, n_sweeps: int, omega: float):
     return jax.lax.fori_loop(0, n_sweeps, body, x0)
 
 
-def _bicgstab_masked(x0, c: StencilCoeffs, mask, tol: float, maxiter: int):
+def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int):
     """Matrix-free BiCGSTAB restricted to masked nodes (boundary nodes are
     held fixed; Practice-B folding makes the masked system self-contained)."""
     mask_f = mask.astype(x0.dtype)
 
     def A(x):
-        return apply_stencil(x, c) * mask_f
+        return _apply(x, c) * mask_f
 
     b = c.src * mask_f
     r0 = b - A(x0 * mask_f)
@@ -163,10 +200,10 @@ def _inner_solve(x0, c_rel, mask, cfg):
     raise ValueError(f"Unknown momentum solver kind: {cfg.kind}")
 
 
-def _unrelaxed_residual(x_star, c_un: StencilCoeffs, *, is_u: bool):
+def _unrelaxed_residual(x_star, c_un, *, is_u: bool):
     """r = src_un - A_un x, border-zeroed field + interior L2 norm
     (reference ``AMG_solver._calculate_unrelaxed_residual``)."""
-    r = c_un.src - apply_stencil(x_star, c_un)
+    r = c_un.src - _apply(x_star, c_un)
     ni, nj = r.shape
     if is_u:
         nx, ny = ni - 1, nj
@@ -185,8 +222,9 @@ def _unrelaxed_residual(x_star, c_un: StencilCoeffs, *, is_u: bool):
 def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg):
     """u-momentum predictor.  Returns (u_star, d_u, r_field, r_norm)."""
     u, v = apply_velocity_bcs(u, v, bc)
-    c_un = u_momentum_coefficients(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu)
-    c_rel = relax_coefficients(c_un, u, alpha)
+    c_un = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                            scheme=getattr(cfg, "scheme", "power_law"), is_u=True)
+    c_rel = _relax(c_un, u, alpha)
     mask = _u_interior_mask(u.shape)
     u_star = _inner_solve(u, c_rel, mask, cfg)
     u_star, _ = apply_velocity_bcs(u_star, v, bc)
@@ -198,8 +236,9 @@ def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
 def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg):
     """v-momentum predictor.  Returns (v_star, d_v, r_field, r_norm)."""
     u, v = apply_velocity_bcs(u, v, bc)
-    c_un = v_momentum_coefficients(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu)
-    c_rel = relax_coefficients(c_un, v, alpha)
+    c_un = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                            scheme=getattr(cfg, "scheme", "power_law"), is_u=False)
+    c_rel = _relax(c_un, v, alpha)
     mask = _v_interior_mask(v.shape)
     v_star = _inner_solve(v, c_rel, mask, cfg)
     _, v_star = apply_velocity_bcs(u, v_star, bc)

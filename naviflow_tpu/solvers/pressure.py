@@ -47,6 +47,16 @@ class JacobiPressureConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DirectPressureConfig:
+    """Dense direct solve — exact reference for small grids (reference
+    ``direct.py``'s SuperLU ``spsolve`` becomes an on-device
+    ``jnp.linalg.solve``; O(n^3), intended for <= ~64^2 grids and the
+    multigrid coarsest level)."""
+
+    kind: str = "direct"
+
+
+@dataclasses.dataclass(frozen=True)
 class RBGSPressureConfig:
     """Red-black Gauss-Seidel with SOR (reference ``gauss_seidel.py``
     ``method_type='red_black'``; the sequential 'standard'/'symmetric'
@@ -132,6 +142,52 @@ def _iterate(p0, b, c: PoissonCoeffs, sweep_fn, tol, max_iter, check_every, pin)
     return p, PressureSolveInfo(iterations=iters, residual_field=r, rel_residual=rel)
 
 
+def dense_poisson_matrix(c: PoissonCoeffs, *, pin: bool):
+    """Assemble the dense pressure matrix with Fortran cell numbering
+    k = i + j*nx (reference ``coeff_matrix.get_coeff_mat`` semantics).
+
+    For the unpinned (singular, symmetric) variants, empty rows are floored
+    to identity and a rank-one ones/n shift fixes the constant-mode gauge:
+    for compatible b the solution satisfies A x = b with mean(x) ~ 0.
+    """
+    nx, ny = c.diag.shape
+    n = nx * ny
+    f = lambda x: x.T.reshape(-1)  # Fortran flatten (i fastest)
+    idx = jnp.arange(n)
+    diag = f(c.diag)
+    if not pin:
+        diag = jnp.where(jnp.abs(diag) < 1e-15, jnp.ones_like(diag), diag)
+    A = jnp.zeros((n, n), c.diag.dtype)
+    A = A.at[idx, idx].set(diag)
+    # a_e: (k, k+1); zero where i == nx-1 by construction, so wrap is harmless
+    A = A.at[idx[:-1], idx[:-1] + 1].add(-f(c.a_e)[:-1])
+    A = A.at[idx[1:], idx[1:] - 1].add(-f(c.a_w)[1:])
+    A = A.at[idx[:-nx], idx[:-nx] + nx].add(-f(c.a_n)[:-nx])
+    A = A.at[idx[nx:], idx[nx:] - nx].add(-f(c.a_s)[nx:])
+    if pin:
+        A = A.at[0, :].set(0.0).at[0, 0].set(1.0)
+    else:
+        A = A + jnp.ones_like(A) / n
+    return A
+
+
+def solve_pressure_direct(b, c: PoissonCoeffs, *, pin: bool = False):
+    """Exact dense solve (reference ``DirectPressureSolver``)."""
+    nx, ny = b.shape
+    A = dense_poisson_matrix(c, pin=pin)
+    b_flat = b.T.reshape(-1)
+    x = jnp.linalg.solve(A, b_flat)
+    p = x.reshape(ny, nx).T
+    if not pin:
+        p = p - jnp.mean(p)
+    r = b - apply_poisson(p, c, pinned=pin)
+    bnorm = jnp.linalg.norm(b)
+    rel = jnp.linalg.norm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+    return p, PressureSolveInfo(
+        iterations=jnp.asarray(1, jnp.int32), residual_field=r, rel_residual=rel
+    )
+
+
 def solve_pressure(
     b, c: PoissonCoeffs, p0, cfg, *, pin: bool = False
 ) -> Tuple[jax.Array, PressureSolveInfo]:
@@ -142,6 +198,8 @@ def solve_pressure(
     by its neighbors).  With the consistent/symmetric operators, cell (0,0)
     can be disconnected, so the gauge is fixed by mean-removal instead.
     """
+    if cfg.kind == "direct":
+        return solve_pressure_direct(b, c, pin=pin)
     if cfg.kind == "jacobi":
         sweep = lambda p: jacobi_sweep(p, b, c, cfg.omega, pin=pin)
     elif cfg.kind == "rbgs":
