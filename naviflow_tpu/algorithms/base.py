@@ -21,6 +21,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.state import FlowState
 from ..ops.poisson import max_interior_divergence
@@ -53,6 +54,12 @@ class SolveDiagnostics:
     v_residual_field: jax.Array
     p_residual_field: jax.Array
     max_divergence: jax.Array
+    # Failure-detection hooks (reference ``simple.py:108-208`` stall detector
+    # and SURVEY §5 divergence-handling): ``diverged`` = non-finite residual;
+    # ``stalled`` = <0.1% relative residual change over a 50-iteration window
+    # (host loop only; the reference logs the stall without breaking).
+    diverged: jax.Array
+    stalled: jax.Array
 
 
 def default_loop_mode() -> str:
@@ -148,6 +155,8 @@ def finalize(c, *, tolerance, dx, dy):
         v_residual_field=c["r_v"],
         p_residual_field=c["r_p"],
         max_divergence=max_interior_divergence(c["u"], c["v"], dx=dx, dy=dy),
+        diverged=jnp.logical_not(jnp.isfinite(c["total"])),
+        stalled=jnp.asarray(False),
     )
     return FlowState(u=c["u"], v=c["v"], p=c["p"]), diag
 
@@ -208,11 +217,31 @@ def run_outer_loop_host(
 
     c = init_carry(u0, v0, p0, extra0, n)
     done = 0
+    recent = []
+    stalled = False
+    stall_window = 50
     while done < n:
         k = min(check_every, n - done)
         for _ in range(k):
             c = body(c)
         done += k
-        if float(c["total"]) <= tolerance:
+        total = float(c["total"])
+        if total <= tolerance:
             break
-    return fin(c)
+        if not np.isfinite(total):
+            break  # diverged — stop burning device time
+        # stall detector (reference simple.py:194-208: window=50, <0.1%
+        # relative change; the reference logs without breaking, we record)
+        recent.append(total)
+        if len(recent) * check_every > stall_window:
+            recent = recent[-max(stall_window // check_every, 2):]
+            lo, hi = min(recent), max(recent)
+            avg = sum(recent) / len(recent)
+            if avg > 0 and (hi - lo) / avg < 1e-3:
+                stalled = True
+        else:
+            stalled = False
+    state, diag = fin(c)
+    if stalled:
+        diag = dataclasses.replace(diag, stalled=jnp.asarray(True))
+    return state, diag

@@ -1,4 +1,5 @@
 from .momentum import (
+    IDRSMomentumConfig,
     JacobiMomentumConfig,
     KrylovMomentumConfig,
     RBGSMomentumConfig,

@@ -87,6 +87,24 @@ class RBGSMomentumConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class IDRSMomentumConfig:
+    """IDR(s) momentum solve (reference ``matrix_free_momentum._idrs``,
+    :175-340 — the Sonneveld & van Gijzen induced-dimension-reduction
+    method).  We implement the biorthogonal variant with van Gijzen's
+    basis update ``U_k = U_{k:s} c + om*v`` (the reference overwrites U_k
+    before the product, a translation slip); the shadow-space loop is
+    statically unrolled (s is small), so the whole solve is one
+    ``lax.while_loop`` of fused stencil ops."""
+
+    tolerance: float = 1e-7
+    max_iterations: int = 30  # outer G-space builds (~(s+1) matvecs each)
+    s: int = 4
+    angle: float = 0.7
+    scheme: str = "power_law"
+    kind: str = "idrs"
+
+
+@dataclasses.dataclass(frozen=True)
 class KrylovMomentumConfig:
     """Matrix-free Krylov momentum solve (reference
     ``matrix_free_momentum.py`` BiCGSTAB path, sans ILU — the relaxed
@@ -190,6 +208,72 @@ def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int):
     return jnp.where(mask, x, x0)
 
 
+def _idrs_masked(x0, c, mask, tol: float, max_outer: int, s: int, angle: float):
+    """IDR(s) on the masked momentum system (see IDRSMomentumConfig)."""
+    dtype = x0.dtype
+    mask_f = mask.astype(dtype)
+
+    def A(x):
+        return _apply(x, c) * mask_f
+
+    b = c.src * mask_f
+    x = x0 * mask_f
+    r = b - A(x)
+    P = jax.random.normal(jax.random.PRNGKey(0), (s,) + x0.shape, dtype)
+    pdot = lambda a, w: jnp.einsum("ij,ij->", a, w)
+
+    U = jnp.zeros((s,) + x0.shape, dtype)
+    G = jnp.zeros((s,) + x0.shape, dtype)
+    Ms = jnp.eye(s, dtype=dtype)
+    om = jnp.asarray(1.0, dtype)
+    bnorm = jnp.linalg.norm(b)
+    tolb = tol * jnp.maximum(bnorm, 1e-30)
+
+    def cond(carry):
+        x, r, U, G, Ms, om, it = carry
+        return (it < max_outer) & (jnp.linalg.norm(r) >= tolb)
+
+    def body(carry):
+        x, r, U, G, Ms, om, it = carry
+        f = jnp.stack([pdot(P[i], r) for i in range(s)])
+        for k in range(s):  # static unroll
+            ck = jnp.linalg.solve(Ms[k:, k:], f[k:])
+            v = r - jnp.einsum("m,mij->ij", ck, G[k:])
+            u_new = jnp.einsum("m,mij->ij", ck, U[k:]) + om * v
+            g_new = A(u_new)
+            for i in range(k):
+                alpha = pdot(P[i], g_new) / jnp.where(Ms[i, i] == 0, 1e-30, Ms[i, i])
+                g_new = g_new - alpha * G[i]
+                u_new = u_new - alpha * U[i]
+            col = jnp.stack(
+                [pdot(P[i], g_new) if i >= k else jnp.asarray(0.0, dtype)
+                 for i in range(s)]
+            )
+            Ms = Ms.at[:, k].set(col)
+            beta = f[k] / jnp.where(Ms[k, k] == 0, 1e-30, Ms[k, k])
+            x = x + beta * u_new
+            r = r - beta * g_new
+            U = U.at[k].set(u_new)
+            G = G.at[k].set(g_new)
+            if k < s - 1:
+                f = f.at[k + 1 :].add(-beta * Ms[k + 1 :, k])
+        # dimension-reduction omega step (reference :309-330)
+        t = A(r)
+        nr = jnp.linalg.norm(r)
+        nt = jnp.linalg.norm(t)
+        ts = pdot(t, r)
+        rho = jnp.abs(ts / jnp.maximum(nt * nr, 1e-30))
+        om = ts / jnp.maximum(nt * nt, 1e-30)
+        om = jnp.where(rho < angle, om * angle / jnp.maximum(rho, 1e-30), om)
+        x = x + om * r
+        r = r - om * t
+        return (x, r, U, G, Ms, om, it + 1)
+
+    carry = (x, r, U, G, Ms, om, jnp.asarray(0, jnp.int32))
+    x, *_ = jax.lax.while_loop(cond, body, carry)
+    return jnp.where(mask, x, x0)
+
+
 def _inner_solve(x0, c_rel, mask, cfg):
     if cfg.kind == "jacobi":
         return _jacobi_sweeps(x0, c_rel, mask, cfg.n_sweeps)
@@ -197,6 +281,9 @@ def _inner_solve(x0, c_rel, mask, cfg):
         return _rbgs_sweeps(x0, c_rel, mask, cfg.n_sweeps, cfg.omega)
     if cfg.kind == "bicgstab":
         return _bicgstab_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations)
+    if cfg.kind == "idrs":
+        return _idrs_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations,
+                            cfg.s, cfg.angle)
     raise ValueError(f"Unknown momentum solver kind: {cfg.kind}")
 
 

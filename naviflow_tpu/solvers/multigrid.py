@@ -58,6 +58,7 @@ from ..ops.transfer import (
     restrict_full_weighting,
     restrict_inject,
 )
+from .chebyshev import chebyshev_smooth, estimate_lambda_max
 from .pressure import PressureSolveInfo
 
 
@@ -71,8 +72,10 @@ class MultigridConfig:
     pre_smoothing: int = 2
     post_smoothing: int = 2
     cycle_type: str = "v"  # 'v' | 'w' | 'fmg'
-    smoother: str = "gs"  # 'gs' (red-black / 4-color) | 'jacobi'
+    smoother: str = "gs"  # 'gs' (red-black / 4-color) | 'jacobi' | 'chebyshev'
     omega: float = 1.0
+    cheby_degree: int = 4
+    cheby_theta: float = 30.0
     coarsest_grid_size: int = 7
     coarsest_sweeps: int = 64
     restriction: str = "full_weighting"  # 'full_weighting' | 'inject'
@@ -99,7 +102,11 @@ def _rb2_sweep(p, b, st: Stencil9, omega: float):
     return half(p, jnp.logical_not(red))
 
 
-def _smooth(p, b, st: Stencil9, cfg, n, five_point: bool):
+def _smooth(p, b, st: Stencil9, cfg, n, five_point: bool, lam=None):
+    if cfg.smoother == "chebyshev":
+        # one Chebyshev application of degree ~n*2 replaces n sweeps
+        return chebyshev_smooth(p, b, st, lam, degree=max(cfg.cheby_degree, n),
+                                theta=cfg.cheby_theta)
     if cfg.smoother == "jacobi":
         fn = lambda q: jacobi9_sweep(q, b, st, min(cfg.omega, 0.9))
     elif five_point:
@@ -116,12 +123,18 @@ def _restrict(r, cfg):
 
 
 def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
-    """Static list of (Stencil9, (nx, ny), five_point) finest -> coarsest."""
+    """Static list of (Stencil9, (nx, ny), five_point, lam_max) finest ->
+    coarsest (lam_max only populated for the Chebyshev smoother)."""
     nx, ny = d_u.shape[0] - 1, d_v.shape[1] - 1
+    need_lam = cfg.smoother == "chebyshev"
+
+    def lam_of(st, shape):
+        return estimate_lambda_max(st, shape) if need_lam else None
+
     fine = from_poisson(
         poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho, variant=variant)
     )
-    levels = [(fine, (nx, ny), True)]
+    levels = [(fine, (nx, ny), True, lam_of(fine, (nx, ny)))]
     if cfg.coarsening == "galerkin":
         st = fine
         while min(nx, ny) > cfg.coarsest_grid_size:
@@ -133,7 +146,7 @@ def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
                 nxc,
                 nyc,
             )
-            levels.append((st, (nxc, nyc), False))
+            levels.append((st, (nxc, nyc), False, lam_of(st, (nxc, nyc))))
             nx, ny = nxc, nyc
     elif cfg.coarsening == "rediscretize":
         while min(nx, ny) > cfg.coarsest_grid_size:
@@ -143,7 +156,7 @@ def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
             st = from_poisson(
                 poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho, variant=variant)
             )
-            levels.append((st, (nx, ny), True))
+            levels.append((st, (nx, ny), True, lam_of(st, (nx, ny))))
     else:
         raise ValueError(f"Unknown coarsening: {cfg.coarsening}")
     return levels
@@ -151,11 +164,11 @@ def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
 
 def _cycle(p, b, levels, lvl, cfg):
     """One V/W cycle at level ``lvl`` (unrolled at trace time)."""
-    st, (nx, ny), five = levels[lvl]
+    st, (nx, ny), five, lam = levels[lvl]
     if lvl == len(levels) - 1:
-        return _smooth(p, b, st, cfg, cfg.coarsest_sweeps, five)
+        return _smooth(p, b, st, cfg, cfg.coarsest_sweeps, five, lam)
 
-    p = _smooth(p, b, st, cfg, cfg.pre_smoothing, five)
+    p = _smooth(p, b, st, cfg, cfg.pre_smoothing, five, lam)
     r = b - apply9(p, st)
     rc = _restrict(r, cfg)
     ec = jnp.zeros_like(rc)
@@ -163,7 +176,7 @@ def _cycle(p, b, levels, lvl, cfg):
     if cfg.cycle_type == "w" and lvl + 1 < len(levels) - 1:
         ec = _cycle(ec, rc, levels, lvl + 1, cfg)
     p = p + prolong_linear(ec, nx, ny)
-    return _smooth(p, b, st, cfg, cfg.post_smoothing, five)
+    return _smooth(p, b, st, cfg, cfg.post_smoothing, five, lam)
 
 
 def _fmg(b, levels, cfg):
@@ -171,9 +184,9 @@ def _fmg(b, levels, cfg):
     rhs = [b]
     for _ in range(len(levels) - 1):
         rhs.append(_restrict(rhs[-1], cfg))
-    st, _, five = levels[-1]
+    st, _, five, lam = levels[-1]
     p = jnp.zeros_like(rhs[-1])
-    p = _smooth(p, rhs[-1], st, cfg, cfg.coarsest_sweeps, five)
+    p = _smooth(p, rhs[-1], st, cfg, cfg.coarsest_sweeps, five, lam)
     for lvl in range(len(levels) - 2, -1, -1):
         nx, ny = levels[lvl][1]
         p = prolong_linear(p, nx, ny)
