@@ -43,20 +43,41 @@ def main():
     bc = nf.lid_driven_cavity(1.0)
 
     cfg = SIMPLEConfig(max_iterations=maxit, tolerance=tol)
-    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=40)
-    pres = MultigridConfig(tolerance=1e-3, max_cycles=20, cycle_type="v")
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=20)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=6, cycle_type="v",
+                           check_every=2, coarsest_sweeps=32)
 
-    # warm-up run: compile (persistent-cached across processes)
-    state = nf.initialize_state(mesh, bc)
-    final, diag = simple_solve(mesh, fluid, bc, state, cfg, momentum=mom, pressure=pres)
+    # Tunneled TPU runtimes memoize identical executions (program + input
+    # values), so every run — warm-up and timed — gets a unique, physically
+    # negligible perturbation of the initial pressure field.
+    def fresh_state():
+        import struct
+
+        seed = struct.unpack("<I", os.urandom(4))[0]
+        noise = jax.random.uniform(jax.random.PRNGKey(seed), mesh.p_shape,
+                                   jnp.float32, 0.0, 1e-7)
+        s = nf.initialize_state(mesh, bc)
+        return s.replace(p=s.p + noise)
+
+    final, diag = simple_solve(mesh, fluid, bc, fresh_state(), cfg,
+                               momentum=mom, pressure=pres)
     jax.block_until_ready(final.u)
 
-    # timed run
-    state = nf.initialize_state(mesh, bc)
-    t0 = time.perf_counter()
-    final, diag = simple_solve(mesh, fluid, bc, state, cfg, momentum=mom, pressure=pres)
-    jax.block_until_ready(final.u)
-    wall = time.perf_counter() - t0
+    # Timed runs (median of 3).  Timing closes over a host VALUE fetch of a
+    # scalar output — unlike block_until_ready, a data fetch cannot complete
+    # before the computation has actually run (tunneled runtimes have been
+    # observed to return early from block_until_ready).  The ~25 ms fetch
+    # overhead is included (conservative).
+    walls = []
+    for _ in range(3):
+        state = fresh_state()
+        float(jnp.sum(state.p))  # materialize inputs before the clock starts
+        t0 = time.perf_counter()
+        final, diag = simple_solve(mesh, fluid, bc, state, cfg,
+                                   momentum=mom, pressure=pres)
+        float(diag.final_residual)
+        walls.append(time.perf_counter() - t0)
+    wall = sorted(walls)[1]
 
     iters = int(diag.iterations)
     mlups = iters * nx * nx / wall / 1e6

@@ -63,13 +63,11 @@ class SolveDiagnostics:
 
 
 def default_loop_mode() -> str:
-    """'fused' on CPU/GPU backends; 'host' on TPU backends whose compile
-    service struggles with the whole-solve while-loop program."""
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover
-        backend = "cpu"
-    return "fused" if backend in ("cpu", "gpu", "cuda", "rocm") else "host"
+    """'fused' everywhere: one XLA program for the whole solve, zero host
+    syncs until completion.  (Host round-trips cost ~1 s each through
+    tunneled TPU runtimes, so the host-driven loop is only worth it for
+    mid-run callbacks: stall detection, checkpointing, live logging.)"""
+    return "fused"
 
 
 def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: str):

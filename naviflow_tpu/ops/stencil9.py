@@ -127,21 +127,20 @@ def galerkin_coarsen(st: Stencil9, restrict_fn, prolong_fn, nxc: int, nyc: int) 
     ii = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 1)
 
-    images = {}
-    for a in range(3):
-        for b in range(3):
-            comb = _comb((nxc, nyc), a, b, dtype)
-            images[(a, b)] = restrict_fn(apply9(prolong_fn(comb), st))
+    # all nine comb applications batched through one vmapped P -> A -> R chain
+    combs = jnp.stack(
+        [_comb((nxc, nyc), a, b, dtype) for a in range(3) for b in range(3)]
+    )
+    images = jax.vmap(lambda x: restrict_fn(apply9(prolong_fn(x), st)))(combs)
+    images = images.reshape(3, 3, nxc, nyc)
 
     entries = {}
     for (di, dj), name in _OFFSET_NAMES.items():
         # neighbor (I+di, J+dj) belongs to comb class ((I+di)%3, (J+dj)%3);
         # select the matching image value per cell
-        val = jnp.zeros((nxc, nyc), dtype)
-        for a in range(3):
-            for b in range(3):
-                mask = ((ii + di) % 3 == a) & ((jj + dj) % 3 == b)
-                val = jnp.where(mask, images[(a, b)], val)
+        a_idx = (ii + di) % 3
+        b_idx = (jj + dj) % 3
+        val = images[a_idx, b_idx, ii, jj]
         # zero entries that reach outside the coarse grid
         inside = (
             (ii + di >= 0) & (ii + di <= nxc - 1) & (jj + dj >= 0) & (jj + dj <= nyc - 1)
