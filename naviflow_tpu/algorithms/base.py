@@ -88,6 +88,15 @@ def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: st
                 max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
             )
         return solve
+    if loop.startswith("chunked"):
+        chunk = int(loop.split(":")[1]) if ":" in loop else 400
+        def solve(u0, v0, p0):
+            return run_outer_loop_chunked(
+                step, u0, v0, p0, extra0_fn(u0.dtype),
+                max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
+                chunk=chunk,
+            )
+        return solve
     raise ValueError(f"Unknown loop mode: {loop}")
 
 
@@ -182,6 +191,52 @@ def run_outer_loop(
 
     c = jax.lax.while_loop(cond, body, carry0)
     return finalize(c, tolerance=tolerance, dx=dx, dy=dy)
+
+
+def run_outer_loop_chunked(
+    step: Callable,
+    u0,
+    v0,
+    p0,
+    extra0: Any,
+    *,
+    max_iterations: int,
+    tolerance: float,
+    dx: float,
+    dy: float,
+    chunk: int = 400,
+):
+    """Fused chunks of up to ``chunk`` iterations with a host convergence
+    check in between.
+
+    Use for long solves on runtimes that kill single program executions
+    beyond a wall-clock watchdog (observed ~60-100 s on tunneled TPU
+    workers): each chunk is one fused while-loop program of bounded
+    duration; the per-chunk host sync is amortized over ``chunk``
+    iterations.  Loop mode string: ``"chunked"`` or ``"chunked:<K>"``.
+    """
+    n = max_iterations
+    body = make_body(step)
+
+    @jax.jit
+    def run_chunk(c):
+        start = c["it"]
+        limit = jnp.minimum(start + chunk, n)
+
+        def cond(c):
+            return (c["it"] < limit) & (c["total"] > tolerance)
+
+        return jax.lax.while_loop(cond, body, c)
+
+    fin = jax.jit(lambda c: finalize(c, tolerance=tolerance, dx=dx, dy=dy))
+    c = init_carry(u0, v0, p0, extra0, n)
+    while True:
+        c = run_chunk(c)
+        total = float(c["total"])
+        it = int(c["it"])
+        if total <= tolerance or it >= n or not np.isfinite(total):
+            break
+    return fin(c)
 
 
 def run_outer_loop_host(

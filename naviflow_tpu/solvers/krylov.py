@@ -85,26 +85,34 @@ def _pcg(b, A, M, x0, tol, maxiter):
     bnorm = jnp.linalg.norm(b)
     tol_abs = tol * jnp.where(bnorm > 0, bnorm, 1.0)
 
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny * 1e6, b.dtype)
+
     def cond(carry):
-        x, r, z, p, rz, k = carry
-        return (k < maxiter) & (jnp.linalg.norm(r) > tol_abs)
+        x, r, z, p, rz, k, ok = carry
+        return ok & (k < maxiter) & (jnp.linalg.norm(r) > tol_abs)
 
     def body(carry):
-        x, r, z, p, rz, k = carry
+        x, r, z, p, rz, k, ok = carry
         Ap = A(p)
         pAp = jnp.vdot(p, Ap)
-        alpha = rz / jnp.where(pAp == 0, 1e-30, pAp)
+        # breakdown guard: near-zero or negative curvature (f32 cancellation
+        # on the singular system) ends the iteration instead of producing
+        # a huge step
+        good = pAp > eps * jnp.vdot(p, p)
+        alpha = jnp.where(good, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         x = x + alpha * p
         r_new = r - alpha * Ap
         z_new = M(r_new)
         rz_new = jnp.vdot(r_new, z_new)
         # Polak–Ribière (flexible) beta
-        beta = jnp.vdot(r_new - r, z_new) / jnp.where(rz == 0, 1e-30, rz)
+        beta = jnp.where(
+            jnp.abs(rz) > eps, jnp.vdot(r_new - r, z_new) / rz, 0.0
+        )
         p = z_new + beta * p
-        return (x, r_new, z_new, p, rz_new, k + 1)
+        return (x, r_new, z_new, p, rz_new, k + 1, good)
 
-    x, r, _, _, _, k = jax.lax.while_loop(
-        cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32))
+    x, r, _, _, _, k, _ = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32), jnp.asarray(True))
     )
     return x, r, k
 
@@ -119,32 +127,36 @@ def _bicgstab(b, A, M, x0, tol, maxiter):
     bnorm = jnp.linalg.norm(b)
     tol_abs = tol * jnp.where(bnorm > 0, bnorm, 1.0)
 
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny * 1e6, b.dtype)
+
     def cond(carry):
-        x, r, rho, alpha, omega, v, p, k = carry
-        return (k < maxiter) & (jnp.linalg.norm(r) > tol_abs)
+        x, r, rho, alpha, omega, v, p, k, ok = carry
+        return ok & (k < maxiter) & (jnp.linalg.norm(r) > tol_abs)
 
     def body(carry):
-        x, r, rho, alpha, omega, v, p, k = carry
+        x, r, rho, alpha, omega, v, p, k, ok = carry
         rho_new = jnp.vdot(rhat, r)
-        beta = (rho_new / jnp.where(rho == 0, 1e-30, rho)) * (
-            alpha / jnp.where(omega == 0, 1e-30, omega)
-        )
+        good = (jnp.abs(rho) > eps) & (jnp.abs(omega) > eps)
+        beta = jnp.where(good, (rho_new / jnp.where(rho == 0, 1.0, rho))
+                         * (alpha / jnp.where(omega == 0, 1.0, omega)), 0.0)
         p = r + beta * (p - omega * v)
         ph = M(p)
         v = A(ph)
         denom = jnp.vdot(rhat, v)
-        alpha = rho_new / jnp.where(denom == 0, 1e-30, denom)
+        good = good & (jnp.abs(denom) > eps)
+        alpha = jnp.where(good, rho_new / jnp.where(denom == 0, 1.0, denom), 0.0)
         s = r - alpha * v
         sh = M(s)
         t = A(sh)
         tt = jnp.vdot(t, t)
-        omega_new = jnp.vdot(t, s) / jnp.where(tt == 0, 1e-30, tt)
+        omega_new = jnp.where(tt > eps, jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt), 0.0)
         x = x + alpha * ph + omega_new * sh
         r = s - omega_new * t
-        return (x, r, rho_new, alpha, omega_new, v, p, k + 1)
+        return (x, r, rho_new, alpha, omega_new, v, p, k + 1, good)
 
-    carry = (x, r, rho, alpha, omega, v, p, jnp.asarray(0, jnp.int32))
-    x, r, *_, k = jax.lax.while_loop(cond, body, carry)
+    carry = (x, r, rho, alpha, omega, v, p, jnp.asarray(0, jnp.int32),
+             jnp.asarray(True))
+    x, r, *_, k, _ = jax.lax.while_loop(cond, body, carry)
     return x, r, k
 
 

@@ -180,30 +180,33 @@ def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int):
     v = p = jnp.zeros_like(x0)
     bnorm = jnp.sqrt(jnp.sum(b * b))
     tol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
+    eps = jnp.asarray(jnp.finfo(x0.dtype).tiny * 1e6, x0.dtype)
 
     def cond(carry):
-        x, r, rhat, rho, alpha, omega_, v, p, k = carry
-        return (k < maxiter) & (jnp.sum(r * r) > tol2)
+        x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
+        return ok & (k < maxiter) & (jnp.sum(r * r) > tol2)
 
     def body(carry):
-        x, r, rhat, rho, alpha, omega_, v, p, k = carry
+        x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
         rho_new = jnp.sum(rhat * r)
-        beta = (rho_new / jnp.where(rho == 0, 1e-30, rho)) * (
-            alpha / jnp.where(omega_ == 0, 1e-30, omega_)
-        )
+        good = (jnp.abs(rho) > eps) & (jnp.abs(omega_) > eps)
+        beta = jnp.where(good, (rho_new / jnp.where(rho == 0, 1.0, rho))
+                         * (alpha / jnp.where(omega_ == 0, 1.0, omega_)), 0.0)
         p = r + beta * (p - omega_ * v)
         v = A(p)
         denom = jnp.sum(rhat * v)
-        alpha = rho_new / jnp.where(denom == 0, 1e-30, denom)
+        good = good & (jnp.abs(denom) > eps)
+        alpha = jnp.where(good, rho_new / jnp.where(denom == 0, 1.0, denom), 0.0)
         s = r - alpha * v
         t = A(s)
         tt = jnp.sum(t * t)
-        omega_new = jnp.sum(t * s) / jnp.where(tt == 0, 1e-30, tt)
+        omega_new = jnp.where(tt > eps, jnp.sum(t * s) / jnp.where(tt == 0, 1.0, tt), 0.0)
         x = x + alpha * p + omega_new * s
         r = s - omega_new * t
-        return (x, r, rhat, rho_new, alpha, omega_new, v, p, k + 1)
+        return (x, r, rhat, rho_new, alpha, omega_new, v, p, k + 1, good)
 
-    carry = (x, r0, rhat, rho, alpha, omega_, v, p, jnp.asarray(0, jnp.int32))
+    carry = (x, r0, rhat, rho, alpha, omega_, v, p, jnp.asarray(0, jnp.int32),
+             jnp.asarray(True))
     x, *_ = jax.lax.while_loop(cond, body, carry)
     return jnp.where(mask, x, x0)
 

@@ -58,6 +58,7 @@ from ..ops.transfer import (
     restrict_full_weighting,
     restrict_inject,
 )
+from ..ops.transfer_cc import prolong_cc, restrict_cc
 from .chebyshev import chebyshev_smooth, estimate_lambda_max
 from .pressure import PressureSolveInfo
 
@@ -122,6 +123,25 @@ def _restrict(r, cfg):
     return restrict_inject(r)
 
 
+def _level_transfers(nx, ny, cfg):
+    """Pick the coarsening flavor per level by grid parity.
+
+    Odd (2^k - 1) grids use the reference's vertex-style transfers; even
+    (2^k) grids — the distributed/large-grid layout — use cell-centered
+    2x2-average restriction + bilinear CC prolongation.  Returns
+    (restrict_fn, prolong_fn, (nxc, nyc)).
+    """
+    if nx % 2 == 1 and ny % 2 == 1:
+        return (
+            lambda r: _restrict(r, cfg),
+            functools.partial(prolong_linear, mx=nx, my=ny),
+            (coarse_size(nx), coarse_size(ny)),
+        )
+    if nx % 2 == 0 and ny % 2 == 0:
+        return restrict_cc, prolong_cc, (nx // 2, ny // 2)
+    raise ValueError(f"mixed-parity grid ({nx}, {ny}) cannot be coarsened")
+
+
 def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
     """Static list of (Stencil9, (nx, ny), five_point, lam_max) finest ->
     coarsest (lam_max only populated for the Chebyshev smoother)."""
@@ -138,14 +158,8 @@ def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
     if cfg.coarsening == "galerkin":
         st = fine
         while min(nx, ny) > cfg.coarsest_grid_size:
-            nxc, nyc = coarse_size(nx), coarse_size(ny)
-            st = galerkin_coarsen(
-                st,
-                lambda r: _restrict(r, cfg),
-                functools.partial(prolong_linear, mx=nx, my=ny),
-                nxc,
-                nyc,
-            )
+            rf, pf, (nxc, nyc) = _level_transfers(nx, ny, cfg)
+            st = galerkin_coarsen(st, rf, pf, nxc, nyc)
             levels.append((st, (nxc, nyc), False, lam_of(st, (nxc, nyc))))
             nx, ny = nxc, nyc
     elif cfg.coarsening == "rediscretize":
@@ -168,28 +182,30 @@ def _cycle(p, b, levels, lvl, cfg):
     if lvl == len(levels) - 1:
         return _smooth(p, b, st, cfg, cfg.coarsest_sweeps, five, lam)
 
+    rf, pf, _ = _level_transfers(nx, ny, cfg)
     p = _smooth(p, b, st, cfg, cfg.pre_smoothing, five, lam)
     r = b - apply9(p, st)
-    rc = _restrict(r, cfg)
+    rc = rf(r)
     ec = jnp.zeros_like(rc)
     ec = _cycle(ec, rc, levels, lvl + 1, cfg)
     if cfg.cycle_type == "w" and lvl + 1 < len(levels) - 1:
         ec = _cycle(ec, rc, levels, lvl + 1, cfg)
-    p = p + prolong_linear(ec, nx, ny)
+    p = p + pf(ec)
     return _smooth(p, b, st, cfg, cfg.post_smoothing, five, lam)
 
 
 def _fmg(b, levels, cfg):
     """Full-multigrid bootstrap (reference ``_fmg_cycle``, :562-688)."""
     rhs = [b]
-    for _ in range(len(levels) - 1):
-        rhs.append(_restrict(rhs[-1], cfg))
+    for lvl in range(len(levels) - 1):
+        rf, _, _ = _level_transfers(*levels[lvl][1], cfg)
+        rhs.append(rf(rhs[-1]))
     st, _, five, lam = levels[-1]
     p = jnp.zeros_like(rhs[-1])
     p = _smooth(p, rhs[-1], st, cfg, cfg.coarsest_sweeps, five, lam)
     for lvl in range(len(levels) - 2, -1, -1):
-        nx, ny = levels[lvl][1]
-        p = prolong_linear(p, nx, ny)
+        _, pf, _ = _level_transfers(*levels[lvl][1], cfg)
+        p = pf(p)
         p = _cycle(p, rhs[lvl], levels, lvl, cfg)
     return p
 
