@@ -34,9 +34,15 @@ try:  # pallas is TPU-only at lowering time; import is safe everywhere
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-VMEM_LIMIT_CELLS = 1024 * 1024  # ~4 MB per f32 array; 7 arrays ~= 28 MB > VMEM
-# practical cap: 7 full arrays + scratch must fit 16 MB VMEM
-PALLAS_MAX_CELLS = 512 * 512
+# 7 full f32 arrays + double-buffering must fit the 16 MB VMEM scoped limit;
+# 512^2 was measured to exceed it by 1.6 MB.
+PALLAS_MAX_CELLS = 256 * 256
+
+# Status note: on v5e these kernels are bit-exact vs the XLA path but ~6x
+# slower per sweep at 128^2 — XLA's own fusion of the shift/mask formulation
+# is already excellent for these stencils, so the jnp path remains the
+# default and these kernels are kept as validated infrastructure (e.g. for
+# future multi-sweep fusion across levels).
 
 
 def _roll(x, shift, axis):

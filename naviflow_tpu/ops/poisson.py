@@ -145,6 +145,13 @@ def pressure_rhs(u_star, v_star, *, dx, dy, rho, pin: bool = True):
     return b
 
 
+def pressure_rhs2(u_star, v_star, *, dx, dy, rho, pin: bool = True):
+    """Sign-flipped RHS variant (reference ``rhs_construction.get_rhs2``,
+    :28-52 — matches the + sign velocity-correction convention; unused by
+    the shipped solvers, kept for parity)."""
+    return -pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
+
+
 def divergence(u, v, *, dx, dy):
     """Cell-centered velocity divergence (reference
     ``validation/cavity_flow.py:147-175``)."""

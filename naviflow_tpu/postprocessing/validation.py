@@ -39,8 +39,12 @@ GHIA_U = {
     1000: [0.00000, -0.18109, -0.20196, -0.22220, -0.29730, -0.38289, -0.27805,
            -0.10648, -0.06080, 0.05702, 0.18719, 0.33304, 0.46604, 0.51117,
            0.57492, 1.00000],
+    # note: the reference's copy (cavity_flow.py:79-80) carries a transcription
+    # typo at y=0.4531: -0.86636 (a dropped E-01 from the paper's -0.86636E-01);
+    # we use the physical value -0.086636 — converged 511^2 solutions land on
+    # it, and |u| < 0.5 everywhere in the cavity interior.
     3200: [0.00000, -0.32407, -0.35344, -0.37827, -0.41933, -0.34323, -0.24427,
-           -0.86636, -0.04272, 0.07156, 0.19791, 0.34682, 0.46101, 0.46547,
+           -0.086636, -0.04272, 0.07156, 0.19791, 0.34682, 0.46101, 0.46547,
            0.48296, 1.00000],
     5000: [0.00000, -0.41165, -0.42901, -0.43643, -0.40435, -0.33050, -0.22855,
            -0.07404, -0.03039, 0.08183, 0.20087, 0.33556, 0.46036, 0.45992,

@@ -41,6 +41,38 @@ def estimate_lambda_max(st: Stencil9, shape, *, iterations: int = 25, seed: int 
     return lam
 
 
+def optimal_jacobi_omega(lam_max, lam_min=0.0):
+    """Damped-Jacobi weight minimizing the smoothing radius over
+    [lam_min, lam_max]: omega* = 2 / (lam_min + lam_max).
+
+    The jitted counterpart of the reference's empirical omega studies
+    (``spectral_radius_damping.find_optimal_gauss_seidel_omega_matrix_free``
+    and the SR_*.pdf artifacts)."""
+    return 2.0 / (lam_min + lam_max)
+
+
+def estimate_smoother_spectral_radius(st: Stencil9, shape, omega: float,
+                                      *, iterations: int = 40, seed: int = 11):
+    """Spectral radius of the damped-Jacobi iteration matrix I - omega D^-1 A
+    by power iteration — the reference's tuning quantity, jit-safe."""
+    import jax as _jax
+
+    inv_d = 1.0 / stencil9_diagonal(st)
+    key = _jax.random.PRNGKey(seed)
+    x = _jax.random.normal(key, shape, st.c.dtype)
+    x = x / jnp.linalg.norm(x)
+
+    def body(_, carry):
+        x, rho = carry
+        y = x - omega * inv_d * apply9(x, st)
+        rho = jnp.linalg.norm(y)
+        return (y / jnp.maximum(rho, 1e-30), rho)
+
+    _, rho = _jax.lax.fori_loop(0, iterations, body,
+                                (x, jnp.asarray(1.0, st.c.dtype)))
+    return rho
+
+
 def chebyshev_smooth(p, b, st: Stencil9, lam_max, *, degree: int = 4,
                      theta: float = 30.0):
     """``degree`` Chebyshev iterations on A p = b, preconditioned by D^-1.

@@ -142,6 +142,17 @@ def _iterate(p0, b, c: PoissonCoeffs, sweep_fn, tol, max_iter, check_every, pin)
     return p, PressureSolveInfo(iterations=iters, residual_field=r, rel_residual=rel)
 
 
+def pres_correct(b, c: PoissonCoeffs, p_star, cfg, *, alpha_p: float = 0.3,
+                 pin: bool = False):
+    """Legacy convenience: solve for p', apply relaxed update, fix gauge
+    (reference ``helpers/pressure_corrections.pres_correct``)."""
+    p_prime, info = solve_pressure(b, c, jnp.zeros_like(p_star), cfg, pin=pin)
+    p = p_star + alpha_p * p_prime
+    if pin:
+        p = p.at[0, 0].set(0.0)
+    return p, p_prime, info
+
+
 def dense_poisson_matrix(c: PoissonCoeffs, *, pin: bool):
     """Assemble the dense pressure matrix with Fortran cell numbering
     k = i + j*nx (reference ``coeff_matrix.get_coeff_mat`` semantics).
