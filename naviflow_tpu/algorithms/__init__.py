@@ -3,3 +3,4 @@ from .simple import SIMPLEConfig, simple_solve
 from .simplec import SIMPLECConfig, simplec_solve
 from .simpler import SIMPLERConfig, simpler_solve
 from .piso import PISOConfig, piso_solve
+from .sequencing import build_ladder, grid_sequence_solve, prolong_state

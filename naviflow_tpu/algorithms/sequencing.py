@@ -1,0 +1,94 @@
+"""Grid sequencing (nonlinear full multigrid over the outer SIMPLE problem).
+
+SIMPLE needs O(nx) outer iterations for the flow to develop from rest — at
+1024^2 that is tens of thousands of iterations.  Grid sequencing solves the
+cavity on a ladder of coarser grids first and warm-starts each finer level
+from the interpolated coarse solution, cutting fine-grid iterations by an
+order of magnitude.  The reference has no analog (its FMG bootstraps only
+the *linear* pressure solve, ``multigrid.py:562-688``); this is the
+nonlinear counterpart and a natural fit for the one-compiled-program-per-
+level TPU execution model.
+
+Staggered warm-start interpolation uses bilinear ``jax.image.resize`` per
+field — the reference's ``dx = L/(nx-1)`` convention makes grid ladders
+non-nested, and a warm start only needs an O(h^2) approximation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bc import BoundaryConditions, apply_velocity_bcs
+from ..core.fluid import FluidProperties
+from ..core.mesh import StructuredMesh
+from ..core.state import FlowState, initialize_state
+
+
+def coarsen_size(nx: int) -> int:
+    """One ladder step preserving grid parity: 2^k -> 2^(k-1),
+    2^k - 1 -> 2^(k-1) - 1."""
+    return nx // 2 if nx % 2 == 0 else (nx - 1) // 2
+
+
+def build_ladder(nx: int, *, coarsest: int = 32, max_levels: int = 6) -> List[int]:
+    """Fine-to-coarse ladder [nx, nx/2, ...] down to ~``coarsest``."""
+    ladder = [nx]
+    while len(ladder) < max_levels and coarsen_size(ladder[-1]) >= coarsest:
+        ladder.append(coarsen_size(ladder[-1]))
+    return ladder
+
+
+def prolong_state(state: FlowState, mesh_fine: StructuredMesh,
+                  bc: BoundaryConditions) -> FlowState:
+    """Interpolate a staggered state to a finer mesh (bilinear), then
+    re-apply velocity BCs."""
+    u = jax.image.resize(state.u, mesh_fine.u_shape, method="linear")
+    v = jax.image.resize(state.v, mesh_fine.v_shape, method="linear")
+    p = jax.image.resize(state.p, mesh_fine.p_shape, method="linear")
+    u, v = apply_velocity_bcs(u, v, bc)
+    return FlowState(u=u, v=v, p=p)
+
+
+def grid_sequence_solve(
+    mesh: StructuredMesh,
+    fluid: FluidProperties,
+    bc: BoundaryConditions,
+    solve_fn,
+    cfg,
+    *,
+    momentum,
+    pressure,
+    loop: str = "auto",
+    coarsest: int = 32,
+    max_levels: int = 6,
+    dtype=jnp.float32,
+) -> Tuple[FlowState, object, list]:
+    """Solve on a coarse-to-fine mesh ladder, warm-starting each level.
+
+    ``solve_fn`` is one of the algorithm entry points (e.g.
+    ``algorithms.simple.simple_solve``); ``cfg`` applies at every level
+    (coarse levels are cheap).  Returns the fine state, the fine-level
+    diagnostics, and a per-level summary list.
+    """
+    ladder = build_ladder(mesh.nx, coarsest=coarsest, max_levels=max_levels)
+    summaries = []
+    state = None
+    diag = None
+    for nx in reversed(ladder):
+        level_mesh = StructuredMesh(nx=nx, ny=nx, length=mesh.length,
+                                    height=mesh.height)
+        if state is None:
+            state = initialize_state(level_mesh, bc, dtype)
+        else:
+            state = prolong_state(state, level_mesh, bc)
+        state, diag = solve_fn(level_mesh, fluid, bc, state, cfg,
+                               momentum=momentum, pressure=pressure, loop=loop)
+        summaries.append(
+            dict(nx=nx, iterations=int(diag.iterations),
+                 converged=bool(diag.converged),
+                 final_residual=float(diag.final_residual))
+        )
+    return state, diag, summaries
