@@ -3,4 +3,9 @@ from .simple import SIMPLEConfig, simple_solve
 from .simplec import SIMPLECConfig, simplec_solve
 from .simpler import SIMPLERConfig, simpler_solve
 from .piso import PISOConfig, piso_solve
-from .sequencing import build_ladder, grid_sequence_solve, prolong_state
+from .sequencing import (
+    build_ladder,
+    grid_sequence_solve,
+    prolong_state,
+    reynolds_continuation_solve,
+)

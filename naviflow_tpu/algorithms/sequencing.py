@@ -52,6 +52,46 @@ def prolong_state(state: FlowState, mesh_fine: StructuredMesh,
     return FlowState(u=u, v=v, p=p)
 
 
+def reynolds_continuation_solve(
+    mesh: StructuredMesh,
+    reynolds_schedule,
+    bc: BoundaryConditions,
+    solve_fn,
+    cfg,
+    *,
+    momentum,
+    pressure,
+    loop: str = "auto",
+    state: FlowState = None,
+    density: float = 1.0,
+    per_re_cfg=None,
+) -> Tuple[FlowState, object, list]:
+    """Continuation in Reynolds number: solve at each Re in the schedule,
+    warm-starting from the previous converged state.
+
+    High-Re cavity states are hard to reach from rest (the reference's
+    Re=7500/10000 runs at 511^2 never converged —
+    ``results/notConverged/511/``); tracking the solution branch upward in
+    Re converges where cold starts stall.  ``per_re_cfg`` optionally maps
+    Re -> algorithm config (e.g. smaller relaxation factors at high Re).
+    """
+    summaries = []
+    diag = None
+    for re in reynolds_schedule:
+        fluid = FluidProperties(density=density, reynolds_number=re)
+        level_cfg = per_re_cfg(re) if per_re_cfg else cfg
+        if state is None:
+            state = initialize_state(mesh, bc)
+        state, diag = solve_fn(mesh, fluid, bc, state, level_cfg,
+                               momentum=momentum, pressure=pressure, loop=loop)
+        summaries.append(
+            dict(reynolds=re, iterations=int(diag.iterations),
+                 converged=bool(diag.converged),
+                 final_residual=float(diag.final_residual))
+        )
+    return state, diag, summaries
+
+
 def grid_sequence_solve(
     mesh: StructuredMesh,
     fluid: FluidProperties,
