@@ -10,7 +10,9 @@ tolerance and report wall-clock + MLUPS; ``vs_baseline`` is the speedup
 (baseline_seconds / ours).
 
 Env overrides: BENCH_NX (grid, default 63), BENCH_RE (default 100),
-BENCH_TOL (outer tolerance, default 1e-3), BENCH_MAXIT.
+BENCH_TOL (outer tolerance, default 1e-3), BENCH_MAXIT, and
+BENCH_MODE=seq for the grid-sequenced large-grid benchmark (wall clock to
+1e-5 on a BENCH_NX=1024 cavity — the BASELINE.json headline metric).
 """
 
 import json
@@ -32,6 +34,9 @@ def main():
     from naviflow_tpu.solvers import KrylovMomentumConfig
     from naviflow_tpu.solvers.multigrid import MultigridConfig
     from naviflow_tpu.postprocessing.validation import infinity_norm_error
+
+    if os.environ.get("BENCH_MODE") == "seq":
+        return _bench_sequenced()
 
     nx = int(os.environ.get("BENCH_NX", 63))
     re = float(os.environ.get("BENCH_RE", 100))
@@ -100,6 +105,50 @@ def main():
             }
         )
     )
+
+
+def _bench_sequenced():
+    """Grid-sequenced 1024^2 cavity to 1e-5 (the BASELINE headline metric)."""
+    import jax
+    import jax.numpy as jnp
+    import naviflow_tpu as nf
+    from naviflow_tpu.algorithms import (SIMPLEConfig, grid_sequence_solve,
+                                         simple_solve)
+    from naviflow_tpu.solvers import KrylovMomentumConfig
+    from naviflow_tpu.solvers.multigrid import MultigridConfig
+    from naviflow_tpu.postprocessing.validation import infinity_norm_error
+
+    nx = int(os.environ.get("BENCH_NX", 1024))
+    re = float(os.environ.get("BENCH_RE", 1000))
+    tol = float(os.environ.get("BENCH_TOL", 1e-5))
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+    bc = nf.lid_driven_cavity(1.0)
+    cfg = SIMPLEConfig(max_iterations=int(os.environ.get("BENCH_MAXIT", 20000)),
+                       tolerance=tol)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
+                           check_every=2, coarsest_sweeps=32)
+    t0 = time.perf_counter()
+    final, diag, summ = grid_sequence_solve(
+        mesh, fluid, bc, simple_solve, cfg, momentum=mom, pressure=pres,
+        loop="chunked:300",
+    )
+    err = infinity_norm_error(final.u, final.v, mesh, re)
+    wall = time.perf_counter() - t0
+    total_updates = sum(s["iterations"] * s["nx"] ** 2 for s in summ)
+    print(json.dumps({
+        "metric": f"wall_clock_to_{tol:g}_residual_{nx}x{nx}_Re{int(re)}_sequenced_GMG_SIMPLE",
+        "value": round(wall, 2),
+        "unit": "s",
+        "vs_baseline": None,  # the reference cannot run this configuration
+        "converged": all(s["converged"] for s in summ),
+        "fine_level_iterations": summ[-1]["iterations"],
+        "levels": summ,
+        "ghia_infinity_error": round(err, 5),
+        "mlups_outer": round(total_updates / wall / 1e6, 2),
+        "device": str(jax.devices()[0]),
+    }))
 
 
 if __name__ == "__main__":

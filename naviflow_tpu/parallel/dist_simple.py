@@ -162,7 +162,10 @@ def make_distributed_step(
             d_u, d_v, gi0=gi0, gj0=gj0, nx=nx, ny=ny, dx=dx, dy=dy, rho=rho,
             variant="consistent",
         )
-        p_prime, p_res_field = _solve_pressure_local(b, pc, dec, cfg, gi0, gj0)
+        p_prime, p_res_field = _solve_pressure_local(
+            b, pc, dec, cfg, gi0, gj0,
+            d_u_loc=d_u, d_v_loc=d_v, dx=dx, dy=dy, rho=rho,
+        )
 
         # ---- updates ---------------------------------------------------------
         p_new = p + cfg.alpha_p * p_prime
@@ -190,12 +193,19 @@ def make_distributed_step(
     )
 
 
-def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0):
+def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0,
+                          *, d_u_loc=None, d_v_loc=None, dx=None, dy=None,
+                          rho=None):
     """Distributed pressure solve on local blocks.  Returns (p', residual)."""
     n_cells = dec.nx * dec.ny
 
     def A(x):
         return apply_stencil_halo(x, _pc_as_stencil(pc), extend_p, dec)
+
+    if cfg.pressure_solver == "mgcg":
+        return _solve_pressure_mgcg(b, pc, dec, cfg, gi0, gj0,
+                                    d_u_loc=d_u_loc, d_v_loc=d_v_loc,
+                                    dx=dx, dy=dy, rho=rho)
 
     def zero_mean(x):
         s = jax.lax.psum(jax.lax.psum(jnp.sum(x), "x"), "y")
@@ -314,11 +324,177 @@ def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0):
     return p, b - A(p)
 
 
+def _solve_pressure_mgcg(b, pc, dec: Decomp, cfg, gi0, gj0, *,
+                         d_u_loc, d_v_loc, dx, dy, rho):
+    """CG preconditioned by the hybrid distributed multigrid."""
+    n_cells = dec.nx * dec.ny
+    M, A, pdot = make_distributed_mg_preconditioner(
+        d_u_loc, d_v_loc, dec, cfg, pc, dx=dx, dy=dy, rho=rho, gi0=gi0, gj0=gj0
+    )
+
+    def zero_mean(x):
+        s = jax.lax.psum(jax.lax.psum(jnp.sum(x), "x"), "y")
+        return x - s / n_cells
+
+    bnorm = pnorm2(b)
+    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
+    tol_abs = cfg.pressure_tol * safe_b
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny * 1e6, b.dtype)
+
+    b0 = zero_mean(b)
+    x = jnp.zeros_like(b)
+    r = b0
+    z = M(r)
+    pvec = z
+    rz = pdot(r, z)
+
+    def cond(carry):
+        x, r, z, pvec, rz, k, ok = carry
+        return ok & (k < cfg.pressure_max_iter) & (pnorm2(r) > tol_abs)
+
+    def body(carry):
+        x, r, z, pvec, rz, k, ok = carry
+        Ap = A(pvec)
+        pAp = pdot(pvec, Ap)
+        good = pAp > eps * pdot(pvec, pvec)
+        alpha = jnp.where(good, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        x = x + alpha * pvec
+        r_new = r - alpha * Ap
+        z_new = M(r_new)
+        rz_new = pdot(r_new, z_new)
+        beta = jnp.where(jnp.abs(rz) > eps,
+                         pdot(r_new - r, z_new) / jnp.where(rz == 0, 1.0, rz), 0.0)
+        pvec = z_new + beta * pvec
+        return (x, r_new, z_new, pvec, rz_new, k + 1, good)
+
+    x, r, *_ = jax.lax.while_loop(
+        cond, body, (x, r, z, pvec, rz, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(True)),
+    )
+    p = zero_mean(x)
+    return p, b - A(p)
+
+
 def _pc_as_stencil(pc):
     from ..ops.stencil import StencilCoeffs
 
     return StencilCoeffs(a_e=pc.a_e, a_w=pc.a_w, a_n=pc.a_n, a_s=pc.a_s,
                          a_p=pc.diag, src=jnp.zeros_like(pc.diag))
+
+
+def _gather_blocks(x_loc):
+    """Local (a, b) block -> full global array, replicated on every device."""
+    gx = jax.lax.all_gather(x_loc, "x", axis=0, tiled=True)
+    return jax.lax.all_gather(gx, "y", axis=1, tiled=True)
+
+
+def _gather_blocked_u(d_u_loc, dec: Decomp):
+    """Blocked u-faces (duplicated shared edges) -> global (nx+1, ny)."""
+    blocked = _gather_blocks(d_u_loc)  # (mx*(nxl+1), ny)
+    nrow = dec.nxl + 1
+    parts = [blocked[b * nrow : (b + 1) * nrow] for b in range(dec.mx)]
+    return jnp.concatenate([p[:-1] for p in parts[:-1]] + [parts[-1]], 0)
+
+
+def _gather_blocked_v(d_v_loc, dec: Decomp):
+    blocked = _gather_blocks(d_v_loc)  # (nx, my*(nyl+1))
+    ncol = dec.nyl + 1
+    parts = [blocked[:, b * ncol : (b + 1) * ncol] for b in range(dec.my)]
+    return jnp.concatenate([p[:, :-1] for p in parts[:-1]] + [parts[-1]], 1)
+
+
+def make_distributed_mg_preconditioner(d_u_loc, d_v_loc, dec: Decomp, cfg,
+                                       pc, *, dx, dy, rho, gi0, gj0):
+    """Hybrid distributed multigrid preconditioner (SURVEY §7 "MG level
+    redistribution"): the fine level is smoothed *distributed* (Chebyshev
+    with halo matvecs), the residual is restricted block-locally
+    (cell-centered 2x2 averages) and gathered; all coarser levels run the
+    existing single-device Galerkin hierarchy *replicated* on every device;
+    the coarse correction is sliced back per block and prolonged locally.
+
+    Setup cost (one redundant global hierarchy build per pressure solve) is
+    amortized over the CG iterations; per-iteration fine-level work scales
+    with the device count.  Requires even block sizes (cell-centered
+    coarsening).
+    """
+    from ..ops.transfer_cc import prolong_cc, restrict_cc
+    from ..solvers.multigrid import MultigridConfig, _cycle, build_levels
+
+    nxl, nyl = dec.nxl, dec.nyl
+    st = _pc_as_stencil(pc)
+    inv_d = 1.0 / jnp.where(pc.diag < 1e-15, jnp.ones_like(pc.diag), pc.diag)
+    pdot = lambda a, c: jax.lax.psum(jax.lax.psum(jnp.sum(a * c), "x"), "y")
+
+    def A(x):
+        return apply_stencil_halo(x, st, extend_p, dec)
+
+    # distributed spectral bound for the Chebyshev smoother
+    GI, GJ = _iotas((nxl, nyl), gi0, gj0)
+    x0 = jnp.sin(GI * 0.7 + 1.0) * jnp.cos(GJ * 1.3 + 0.5)
+
+    def pw(_, carry):
+        x, lam = carry
+        y = inv_d * A(x)
+        lam = jnp.sqrt(pdot(y, y))
+        return (y / jnp.maximum(lam, 1e-30), lam)
+
+    _, lam_max = jax.lax.fori_loop(0, 20, pw, (x0, jnp.asarray(1.0, pc.diag.dtype)))
+    lmax = 1.05 * lam_max
+    lmin = lam_max / 30.0
+    dd, delta = (lmax + lmin) / 2.0, (lmax - lmin) / 2.0
+    sigma = dd / delta
+
+    def smooth(r0):
+        """e ~= A^-1 r0 from a zero guess, degree-`cheby_degree` Chebyshev."""
+        r = inv_d * r0
+        z = r / dd
+
+        def chev(_, carry):
+            e, z, rho_ = carry
+            e = e + z
+            r = inv_d * (r0 - A(e))
+            rho_new = 1.0 / (2.0 * sigma - rho_)
+            z = rho_new * rho_ * z + (2.0 * rho_new / delta) * r
+            return (e, z, rho_new)
+
+        e, z, _ = jax.lax.fori_loop(
+            0, cfg.cheby_degree - 1, chev,
+            (jnp.zeros_like(r0), z, jnp.asarray(1.0 / sigma, r0.dtype)),
+        )
+        return e + z
+
+    # replicated coarse hierarchy from the gathered global d-fields
+    d_u_g = _gather_blocked_u(d_u_loc, dec)
+    d_v_g = _gather_blocked_v(d_v_loc, dec)
+    mg_cfg = MultigridConfig(pre_smoothing=2, post_smoothing=2,
+                             coarsest_sweeps=32, smoother="gs")
+    levels_g = build_levels(d_u_g, d_v_g, mg_cfg, dx=dx, dy=dy, rho=rho,
+                            variant="consistent")
+    coarse_levels = levels_g[1:]  # level 1 (nx/2) downward, replicated
+
+    nxc_l, nyc_l = nxl // 2, nyl // 2
+
+    def coarse_correct(r_loc):
+        rc_loc = restrict_cc(r_loc)  # (nxl/2, nyl/2), block-local
+        rc_g = _gather_blocks(rc_loc)  # global coarse residual, replicated
+        ec_g = _cycle(jnp.zeros_like(rc_g), rc_g, coarse_levels, 0, mg_cfg)
+        # slice my coarse block + 1 ring (edge-replicated at physical walls)
+        ec_pad = jnp.pad(ec_g, 1, mode="edge")
+        start_i = jax.lax.axis_index("x") * nxc_l
+        start_j = jax.lax.axis_index("y") * nyc_l
+        ec_ext = jax.lax.dynamic_slice(ec_pad, (start_i, start_j),
+                                       (nxc_l + 2, nyc_l + 2))
+        ef_ext = prolong_cc(ec_ext)
+        return ef_ext[2:-2, 2:-2]
+
+    def M(r):
+        e = smooth(r)
+        rr = r - A(e)
+        e = e + coarse_correct(rr)
+        rr = r - A(e)
+        return e + smooth(rr)
+
+    return M, A, pdot
 
 
 def distributed_simple_solve(

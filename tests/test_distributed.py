@@ -76,6 +76,25 @@ def test_distributed_simple_matches_single_device():
     assert infinity_norm_error(final_d.u, final_d.v, mesh, 100) < 0.15
 
 
+def test_distributed_mgcg_pressure_converges():
+    """Hybrid distributed multigrid-CG: distributed fine smoothing +
+    replicated coarse hierarchy (SURVEY §7 MG level redistribution)."""
+    nx = ny = 32
+    mesh = nf.StructuredMesh(nx=nx, ny=ny)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+    bc = nf.lid_driven_cavity(1.0)
+    state = nf.initialize_state(mesh, bc, dtype=jnp.float64)
+    dmesh = make_device_mesh(8)
+    final, diag = distributed_simple_solve(
+        mesh, fluid, bc, state, dmesh,
+        DistributedConfig(max_iterations=2500, tolerance=1e-4,
+                          pressure_solver="mgcg",
+                          pressure_tol=1e-8, pressure_max_iter=40),
+    )
+    assert diag["converged"], diag["final_residual"]
+    assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+
+
 def test_distributed_rbgs_pressure_converges():
     nx = ny = 16
     mesh = nf.StructuredMesh(nx=nx, ny=ny)
