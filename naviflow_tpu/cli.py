@@ -60,7 +60,10 @@ def _case_args(p, multi=False):
     p.add_argument("--tolerance", type=float, default=1e-5)
     p.add_argument("--max-iterations", type=int, default=5000)
     p.add_argument("--pressure-tol", type=float, default=1e-3)
-    p.add_argument("--loop", choices=["auto", "fused", "host"], default="auto")
+    p.add_argument("--loop", default="auto",
+                   help="auto | fused | host | chunked[:K]")
+    p.add_argument("--sequence", action="store_true",
+                   help="grid-sequenced solve (coarse-to-fine warm starts)")
     p.add_argument("--f64", action="store_true", help="run in float64 (CPU)")
 
 
@@ -127,8 +130,16 @@ def _run_case(args, nx, re):
                   max_iterations=args.max_iterations, tolerance=args.tolerance)
 
     t0 = time.perf_counter()
-    final, diag = solve(mesh, fluid, bc, state, cfg, momentum=mom,
-                        pressure=pres, loop=args.loop)
+    if getattr(args, "sequence", False):
+        from .algorithms import grid_sequence_solve
+
+        final, diag, _ = grid_sequence_solve(
+            mesh, fluid, bc, solve, cfg, momentum=mom, pressure=pres,
+            loop=args.loop, dtype=jnp.float64 if args.f64 else jnp.float32,
+        )
+    else:
+        final, diag = solve(mesh, fluid, bc, state, cfg, momentum=mom,
+                            pressure=pres, loop=args.loop)
     jax.block_until_ready(final.u)
     wall = time.perf_counter() - t0
 
