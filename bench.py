@@ -129,10 +129,13 @@ def _bench_sequenced():
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                            check_every=2, coarsest_sweeps=32)
+    import struct
+
     t0 = time.perf_counter()
     final, diag, summ = grid_sequence_solve(
         mesh, fluid, bc, simple_solve, cfg, momentum=mom, pressure=pres,
         loop="chunked:300",
+        perturb_seed=struct.unpack("<I", os.urandom(4))[0],
     )
     err = infinity_norm_error(final.u, final.v, mesh, re)
     wall = time.perf_counter() - t0

@@ -105,12 +105,15 @@ def grid_sequence_solve(
     coarsest: int = 32,
     max_levels: int = 6,
     dtype=jnp.float32,
+    perturb_seed: int = None,
 ) -> Tuple[FlowState, object, list]:
     """Solve on a coarse-to-fine mesh ladder, warm-starting each level.
 
     ``solve_fn`` is one of the algorithm entry points (e.g.
     ``algorithms.simple.simple_solve``); ``cfg`` applies at every level
-    (coarse levels are cheap).  Returns the fine state, the fine-level
+    (coarse levels are cheap).  ``perturb_seed`` adds O(1e-7) noise to the
+    coarsest initial pressure (benchmark hygiene on runtimes that memoize
+    identical executions).  Returns the fine state, the fine-level
     diagnostics, and a per-level summary list.
     """
     ladder = build_ladder(mesh.nx, coarsest=coarsest, max_levels=max_levels)
@@ -122,6 +125,10 @@ def grid_sequence_solve(
                                     height=mesh.height)
         if state is None:
             state = initialize_state(level_mesh, bc, dtype)
+            if perturb_seed is not None:
+                noise = jax.random.uniform(jax.random.PRNGKey(perturb_seed),
+                                           level_mesh.p_shape, dtype, 0.0, 1e-7)
+                state = state.replace(p=state.p + noise)
         else:
             state = prolong_state(state, level_mesh, bc)
         state, diag = solve_fn(level_mesh, fluid, bc, state, cfg,
