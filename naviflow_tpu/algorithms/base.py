@@ -75,14 +75,22 @@ def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: st
     if loop == "auto":
         loop = default_loop_mode()
     if loop == "fused":
-        def solve(u0, v0, p0):
-            return run_outer_loop(
+        jitted = jax.jit(
+            lambda u0, v0, p0: run_outer_loop(
                 step, u0, v0, p0, extra0_fn(u0.dtype),
                 max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
             )
-        return jax.jit(solve)
+        )
+
+        def solve(u0, v0, p0, on_chunk=None):
+            if on_chunk is not None:
+                raise ValueError("on_chunk requires loop='chunked[:K]'")
+            return jitted(u0, v0, p0)
+        return solve
     if loop == "host":
-        def solve(u0, v0, p0):
+        def solve(u0, v0, p0, on_chunk=None):
+            if on_chunk is not None:
+                raise ValueError("on_chunk requires loop='chunked[:K]'")
             return run_outer_loop_host(
                 step, u0, v0, p0, extra0_fn(u0.dtype),
                 max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
@@ -90,11 +98,11 @@ def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: st
         return solve
     if loop.startswith("chunked"):
         chunk = int(loop.split(":")[1]) if ":" in loop else 400
-        def solve(u0, v0, p0):
+        def solve(u0, v0, p0, on_chunk=None):
             return run_outer_loop_chunked(
                 step, u0, v0, p0, extra0_fn(u0.dtype),
                 max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
-                chunk=chunk,
+                chunk=chunk, on_chunk=on_chunk,
             )
         return solve
     raise ValueError(f"Unknown loop mode: {loop}")
@@ -205,6 +213,7 @@ def run_outer_loop_chunked(
     dx: float,
     dy: float,
     chunk: int = 400,
+    on_chunk=None,
 ):
     """Fused chunks of up to ``chunk`` iterations with a host convergence
     check in between.
@@ -214,6 +223,11 @@ def run_outer_loop_chunked(
     workers): each chunk is one fused while-loop program of bounded
     duration; the per-chunk host sync is amortized over ``chunk``
     iterations.  Loop mode string: ``"chunked"`` or ``"chunked:<K>"``.
+
+    ``on_chunk(iteration, total, carry)`` runs on the host at each chunk
+    boundary — the hook for periodic checkpointing, live logging, and
+    Ghia-error tracking (the reference's ``track_infinity_norm`` cadence,
+    ``simple.py:180-187``).  Returning ``False`` stops the solve early.
     """
     n = max_iterations
     body = make_body(step)
@@ -234,6 +248,9 @@ def run_outer_loop_chunked(
         c = run_chunk(c)
         total = float(c["total"])
         it = int(c["it"])
+        if on_chunk is not None:
+            if on_chunk(it, total, c) is False:
+                break
         if total <= tolerance or it >= n or not np.isfinite(total):
             break
     return fin(c)

@@ -117,6 +117,7 @@ def piso_solve(
     momentum: object = JacobiMomentumConfig(),
     pressure: object = RBGSPressureConfig(),
     loop: str = "auto",
+    on_chunk=None,
 ) -> Tuple[FlowState, SolveDiagnostics]:
     fn = _build_solve(mesh, fluid, bc, cfg, momentum, pressure, loop)
-    return fn(state.u, state.v, state.p)
+    return fn(state.u, state.v, state.p, on_chunk=on_chunk)

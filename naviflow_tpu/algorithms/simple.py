@@ -128,6 +128,7 @@ def simple_solve(
     momentum: object = JacobiMomentumConfig(),
     pressure: object = RBGSPressureConfig(),
     loop: str = "auto",
+    on_chunk=None,
 ) -> Tuple[FlowState, SolveDiagnostics]:
     """Run SIMPLE to convergence (or ``max_iterations``).
 
@@ -137,4 +138,4 @@ def simple_solve(
     or 'auto' (fused on CPU/GPU, host on TPU).
     """
     fn = _build_solve(mesh, fluid, bc, cfg, momentum, pressure, loop)
-    return fn(state.u, state.v, state.p)
+    return fn(state.u, state.v, state.p, on_chunk=on_chunk)

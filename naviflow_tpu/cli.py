@@ -32,7 +32,10 @@ def _build_parser():
     run.add_argument("--plot", default=None, help="write combined-results figure")
     run.add_argument("--save", default=None, help="write solution (.npz/.h5/.vtk)")
     run.add_argument("--profile", default=None, help="write HDF5 profile")
-    run.add_argument("--checkpoint-dir", default=None)
+    run.add_argument("--checkpoint-dir", default=None,
+                     help="periodic checkpoints at chunk boundaries")
+    run.add_argument("--resume", action="store_true",
+                     help="resume from the latest checkpoint in --checkpoint-dir")
 
     sweep = sub.add_parser("sweep", help="grid x Reynolds sweep (replaces the shell job farm)")
     _case_args(sweep, multi=True)
@@ -119,6 +122,13 @@ def _run_case(args, nx, re):
     state = nf.initialize_state(
         mesh, bc, dtype=jnp.float64 if args.f64 else jnp.float32
     )
+    if getattr(args, "resume", False) and getattr(args, "checkpoint_dir", None):
+        from .io.checkpoint import CheckpointManager, load_checkpoint
+
+        latest = CheckpointManager(args.checkpoint_dir).latest()
+        if latest:
+            state, it0, _, _ = load_checkpoint(latest)
+            print(f"[resume] {latest} (iteration {it0})", file=sys.stderr)
     mom, pres = _make_solvers(args)
     cfg_cls, solve = {
         "simple": (SIMPLEConfig, simple_solve),
@@ -128,6 +138,24 @@ def _run_case(args, nx, re):
     }[args.algorithm]
     cfg = cfg_cls(alpha_p=args.alpha_p, alpha_u=args.alpha_u,
                   max_iterations=args.max_iterations, tolerance=args.tolerance)
+
+    on_chunk = None
+    ckpt_dir = getattr(args, "checkpoint_dir", None)
+    if ckpt_dir:
+        from .io.checkpoint import CheckpointManager
+        from .core.state import FlowState
+
+        if args.loop in ("auto", "fused"):
+            args.loop = "chunked:200"  # checkpointing needs chunk boundaries
+        manager = CheckpointManager(ckpt_dir, every=1)
+
+        def on_chunk(it, total, carry):
+            manager.maybe_save(
+                FlowState(u=carry["u"], v=carry["v"], p=carry["p"]), it,
+                histories={"total": carry["hist_total"][:it]},
+            )
+            print(f"[checkpoint] iter {it}  residual {total:.3e}",
+                  file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     if getattr(args, "sequence", False):
@@ -139,7 +167,7 @@ def _run_case(args, nx, re):
         )
     else:
         final, diag = solve(mesh, fluid, bc, state, cfg, momentum=mom,
-                            pressure=pres, loop=args.loop)
+                            pressure=pres, loop=args.loop, on_chunk=on_chunk)
     jax.block_until_ready(final.u)
     wall = time.perf_counter() - t0
 
