@@ -216,11 +216,29 @@ class BaseAlgorithm:
             max_iterations=max_iterations, tolerance=tolerance,
             **{**self.extra_cfg, **cfg_kw},
         )
+        # periodic in-solve Ghia tracking (reference simple.py:180-187) —
+        # available at chunk boundaries of the chunked loop mode
+        infinity_history = []
+        on_chunk = None
+        if track_infinity_norm and str(loop).startswith("chunked"):
+            from .postprocessing.validation import (
+                infinity_norm_error as _inf_err,
+                l2_norm_error as _l2_err,
+            )
+            err_fn = _l2_err if use_l2_norm else _inf_err
+            re_num = self.fluid.get_reynolds_number()
+
+            def on_chunk(it, total, carry):
+                err = err_fn(carry["u"], carry["v"], self.mesh, re_num)
+                infinity_history.append(err)
+                print(f"Iteration {it}: residual {total:.3e}, "
+                      f"Ghia error = {err:.3e}")
+
         self.profiler.start()
         state, diag = type(self)._solve_fn(
             self.mesh, self.fluid, self.bc, self._state, cfg,
             momentum=self.momentum_solver, pressure=self.pressure_solver,
-            loop=loop,
+            loop=loop, on_chunk=on_chunk,
         )
         jax.block_until_ready(state.u)
         self.profiler.end()
@@ -245,7 +263,7 @@ class BaseAlgorithm:
         if track_infinity_norm:
             err = (result.calculate_l2_norm_error() if use_l2_norm
                    else result.calculate_infinity_norm_error())
-            result.add_history("infinity_norm_error", [err])
+            result.add_history("infinity_norm_error", infinity_history + [err])
         if save_profile:
             os.makedirs(profile_dir, exist_ok=True)
             nx, ny = self.mesh.get_dimensions()
