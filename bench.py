@@ -50,7 +50,8 @@ def main():
     cfg = SIMPLEConfig(max_iterations=maxit, tolerance=tol)
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=20)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=6, cycle_type="v",
-                           check_every=2, coarsest_sweeps=32)
+                           check_every=2, coarsest_sweeps=32,
+                           coarse_rebuild_every=8)
 
     # Tunneled TPU runtimes memoize identical executions (program + input
     # values), so every run — warm-up and timed — gets a unique, physically
@@ -128,7 +129,8 @@ def _bench_sequenced():
                        tolerance=tol)
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
-                           check_every=2, coarsest_sweeps=32)
+                           check_every=2, coarsest_sweeps=32,
+                           coarse_rebuild_every=8)
     import struct
 
     t0 = time.perf_counter()

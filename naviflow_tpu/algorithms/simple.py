@@ -59,11 +59,31 @@ class SIMPLEConfig:
     overwrite_boundary_pressure: bool = False
 
 
-def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
-    """One SIMPLE outer iteration as a pure function (u, v, p, p_max_l2) ->."""
-    pin = cfg.poisson_variant == "reference"
+def _uses_lagged_mg(pres_cfg) -> bool:
+    return (
+        getattr(pres_cfg, "kind", "") == "multigrid"
+        and getattr(pres_cfg, "coarse_rebuild_every", 1) > 1
+        and getattr(pres_cfg, "smoother", "gs") != "chebyshev"
+    )
 
-    def step(u, v, p, p_max_l2):
+
+def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
+    """One SIMPLE outer iteration as a pure function (u, v, p, extra) ->.
+
+    ``extra`` is the pressure rel-norm running max; with a lagged-multigrid
+    pressure config it additionally carries (age, coarse Stencil9 tuple) so
+    the Galerkin coarse hierarchy — ~30% of the step cost — is rebuilt only
+    every ``coarse_rebuild_every`` iterations.  The fine operator is always
+    current, so the pressure solve's fixed point is exact.
+    """
+    pin = cfg.poisson_variant == "reference"
+    lagged = _uses_lagged_mg(pres_cfg)
+
+    def step(u, v, p, extra):
+        if lagged:
+            p_max_l2, age, coarse_old = extra
+        else:
+            p_max_l2 = extra
         p_star = p
         u_star, d_u, r_u, u_norm = solve_u_momentum(
             u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
@@ -77,11 +97,37 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
         b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
         pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
-        p_prime, pinfo = dispatch_pressure_solve(
-            b, pc, jnp.zeros_like(p), pres_cfg,
-            d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
-            variant=cfg.poisson_variant, pin=pin,
-        )
+        if lagged:
+            from ..ops.stencil9 import from_poisson
+            from ..solvers.multigrid import (
+                build_levels,
+                coarse_stencils,
+                multigrid_solve,
+            )
+
+            coarse = jax.lax.cond(
+                age % pres_cfg.coarse_rebuild_every == 0,
+                lambda: coarse_stencils(
+                    build_levels(d_u, d_v, pres_cfg, dx=dx, dy=dy, rho=rho,
+                                 variant=cfg.poisson_variant)
+                ),
+                lambda: coarse_old,
+            )
+            fine_st = from_poisson(pc)
+            levels = [(fine_st, fine_st.c.shape, True, None)] + [
+                (st, st.c.shape, False, None) for st in coarse
+            ]
+            p_prime, pinfo = multigrid_solve(
+                b, d_u, d_v, jnp.zeros_like(p), pres_cfg,
+                dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant,
+                levels=levels,
+            )
+        else:
+            p_prime, pinfo = dispatch_pressure_solve(
+                b, pc, jnp.zeros_like(p), pres_cfg,
+                d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
+                variant=cfg.poisson_variant, pin=pin,
+            )
 
         p_new = p_star + cfg.alpha_p * p_prime
         if cfg.overwrite_boundary_pressure:
@@ -100,7 +146,11 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
             inner_iterations=pinfo.iterations,
             r_u=r_u, r_v=r_v, r_p=pinfo.residual_field,
         )
-        return u_new, v_new, p_new, p_max_l2, info
+        if lagged:
+            extra_out = (p_max_l2, age + 1, coarse)
+        else:
+            extra_out = p_max_l2
+        return u_new, v_new, p_new, extra_out, info
 
     return step
 
@@ -113,9 +163,25 @@ def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
         dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
         mom_cfg=mom_cfg, pres_cfg=pres_cfg,
     )
+    if _uses_lagged_mg(pres_cfg):
+        from ..solvers.multigrid import build_levels, coarse_stencils
+
+        nx, ny = mesh.get_dimensions()
+
+        def extra0_fn(dt):
+            # structural placeholder; age=0 forces a rebuild in iteration 1
+            d_u0 = jnp.ones((nx + 1, ny), dt) * dy
+            d_v0 = jnp.ones((nx, ny + 1), dt) * dx
+            coarse0 = coarse_stencils(
+                build_levels(d_u0, d_v0, pres_cfg, dx=dx, dy=dy, rho=rho,
+                             variant=cfg.poisson_variant)
+            )
+            return (jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32), coarse0)
+    else:
+        extra0_fn = lambda dt: jnp.asarray(0.0, dt)
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
-        dx=dx, dy=dy, extra0_fn=lambda dt: jnp.asarray(0.0, dt), loop=loop,
+        dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,
     )
 
 
