@@ -47,9 +47,12 @@ from .postprocessing.result import SimulationResult, result_from_solve
 from .solvers.krylov import (
     BiCGSTABPressureConfig,
     CGPressureConfig,
+    GMRESPressureConfig,
     MGCGPressureConfig,
 )
 from .solvers.momentum import (
+    GMRESMomentumConfig,
+    IDRSMomentumConfig,
     JacobiMomentumConfig,
     KrylovMomentumConfig,
     RBGSMomentumConfig,
@@ -109,6 +112,13 @@ def MatrixFreeBiCGSTABSolver(tolerance=1e-7, max_iterations=2000, **_):
 BiCGSTABSolver = MatrixFreeBiCGSTABSolver  # explicit-matrix variant maps the same
 
 
+def GMRESSolver(tolerance=1e-7, max_iterations=2000, restart=20, **_):
+    """Restarted GMRES(m) pressure solver (reference exposes GMRES through
+    SciPy/PETSc — ``BiCGSTAB_solver.py:317-390``)."""
+    return GMRESPressureConfig(tolerance=tolerance, max_iterations=max_iterations,
+                               restart=restart)
+
+
 def PreconditionedCGSolver(tolerance=1e-7, max_iterations=2000, **_):
     """AMG-preconditioned CG of the reference -> GMG-preconditioned CG."""
     return MGCGPressureConfig(tolerance=tolerance, max_iterations=max_iterations)
@@ -142,6 +152,16 @@ def AMGMomentumSolver(tolerance=1e-5, max_iterations=100,
 def MatrixFreeMomentumSolver(tolerance=1e-7, max_iterations=100,
                              solver_type="bicgstab",
                              discretization_scheme="power_law", **_):
+    """Reference ``matrix_free_momentum.py`` — ``solver_type`` selects
+    bicgstab (default), gmres, or idrs, as there."""
+    if solver_type == "gmres":
+        return GMRESMomentumConfig(tolerance=tolerance,
+                                   max_iterations=min(max_iterations, 200),
+                                   scheme=discretization_scheme)
+    if solver_type == "idrs":
+        return IDRSMomentumConfig(tolerance=tolerance,
+                                  max_iterations=min(max_iterations, 100),
+                                  scheme=discretization_scheme)
     return KrylovMomentumConfig(tolerance=tolerance,
                                 max_iterations=min(max_iterations, 200),
                                 scheme=discretization_scheme)

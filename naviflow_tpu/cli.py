@@ -51,10 +51,11 @@ def _case_args(p, multi=False):
     p.add_argument("--algorithm", choices=["simple", "simplec", "simpler", "piso"],
                    default="simple")
     p.add_argument("--pressure",
-                   choices=["rbgs", "jacobi", "cg", "bicgstab", "mgcg",
-                            "multigrid", "direct"],
+                   choices=["rbgs", "jacobi", "cg", "bicgstab", "gmres",
+                            "mgcg", "multigrid", "direct"],
                    default="multigrid")
-    p.add_argument("--momentum", choices=["jacobi", "rbgs", "bicgstab"],
+    p.add_argument("--momentum",
+                   choices=["jacobi", "rbgs", "bicgstab", "gmres", "idrs"],
                    default="bicgstab")
     p.add_argument("--scheme", choices=["power_law", "quick", "luds", "upwind"],
                    default="power_law")
@@ -75,6 +76,9 @@ def _make_solvers(args):
         BiCGSTABPressureConfig,
         CGPressureConfig,
         DirectPressureConfig,
+        GMRESMomentumConfig,
+        GMRESPressureConfig,
+        IDRSMomentumConfig,
         JacobiMomentumConfig,
         JacobiPressureConfig,
         KrylovMomentumConfig,
@@ -89,6 +93,7 @@ def _make_solvers(args):
         "jacobi": lambda: JacobiPressureConfig(tolerance=args.pressure_tol, max_iterations=50000),
         "cg": lambda: CGPressureConfig(tolerance=args.pressure_tol, max_iterations=5000),
         "bicgstab": lambda: BiCGSTABPressureConfig(tolerance=args.pressure_tol, max_iterations=5000),
+        "gmres": lambda: GMRESPressureConfig(tolerance=args.pressure_tol, max_iterations=5000),
         "mgcg": lambda: MGCGPressureConfig(tolerance=args.pressure_tol, max_iterations=100),
         "multigrid": lambda: MultigridConfig(tolerance=args.pressure_tol, max_cycles=30),
         "direct": lambda: DirectPressureConfig(),
@@ -98,6 +103,9 @@ def _make_solvers(args):
         "rbgs": lambda: RBGSMomentumConfig(n_sweeps=2, scheme=args.scheme),
         "bicgstab": lambda: KrylovMomentumConfig(tolerance=1e-6, max_iterations=60,
                                                  scheme=args.scheme),
+        "gmres": lambda: GMRESMomentumConfig(tolerance=1e-6, max_iterations=40,
+                                             scheme=args.scheme),
+        "idrs": lambda: IDRSMomentumConfig(tolerance=1e-6, scheme=args.scheme),
     }[args.momentum]()
     return mom, pres
 
@@ -122,6 +130,7 @@ def _run_case(args, nx, re):
     state = nf.initialize_state(
         mesh, bc, dtype=jnp.float64 if args.f64 else jnp.float32
     )
+    it0 = 0
     if getattr(args, "resume", False) and getattr(args, "checkpoint_dir", None):
         from .io.checkpoint import CheckpointManager, load_checkpoint
 
@@ -136,8 +145,11 @@ def _run_case(args, nx, re):
         "simpler": (SIMPLERConfig, simpler_solve),
         "piso": (PISOConfig, piso_solve),
     }[args.algorithm]
+    # a resumed run continues the original iteration budget rather than
+    # restarting it, and numbers its checkpoints after the loaded one
     cfg = cfg_cls(alpha_p=args.alpha_p, alpha_u=args.alpha_u,
-                  max_iterations=args.max_iterations, tolerance=args.tolerance)
+                  max_iterations=max(1, args.max_iterations - it0),
+                  tolerance=args.tolerance)
 
     on_chunk = None
     ckpt_dir = getattr(args, "checkpoint_dir", None)
@@ -145,16 +157,20 @@ def _run_case(args, nx, re):
         from .io.checkpoint import CheckpointManager
         from .core.state import FlowState
 
-        if args.loop in ("auto", "fused"):
-            args.loop = "chunked:200"  # checkpointing needs chunk boundaries
+        if not args.loop.startswith("chunked"):
+            # checkpointing needs chunk boundaries; host/fused/auto loops
+            # have none, so rewrite them rather than abort mid-run
+            print(f"[checkpoint] --loop {args.loop} -> chunked:200 "
+                  "(checkpoints are taken at chunk boundaries)", file=sys.stderr)
+            args.loop = "chunked:200"
         manager = CheckpointManager(ckpt_dir, every=1)
 
         def on_chunk(it, total, carry):
             manager.maybe_save(
-                FlowState(u=carry["u"], v=carry["v"], p=carry["p"]), it,
+                FlowState(u=carry["u"], v=carry["v"], p=carry["p"]), it0 + it,
                 histories={"total": carry["hist_total"][:it]},
             )
-            print(f"[checkpoint] iter {it}  residual {total:.3e}",
+            print(f"[checkpoint] iter {it0 + it}  residual {total:.3e}",
                   file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()

@@ -62,7 +62,15 @@ class CheckpointManager:
         self.directory = directory
         self.every = every
         self.keep = keep
+        # seed from existing step_* dirs so pruning keeps working (and the
+        # keep-window stays bounded) across resumed runs
         self._saved = []
+        if os.path.isdir(directory):
+            self._saved = [
+                os.path.join(directory, d)
+                for d in sorted(os.listdir(directory))
+                if d.startswith("step_")
+            ]
 
     def maybe_save(self, state: FlowState, iteration: int, histories=None):
         if self.every <= 0 or iteration % self.every:

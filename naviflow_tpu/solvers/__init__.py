@@ -1,4 +1,5 @@
 from .momentum import (
+    GMRESMomentumConfig,
     IDRSMomentumConfig,
     JacobiMomentumConfig,
     KrylovMomentumConfig,
@@ -19,7 +20,9 @@ from .velocity import update_velocity
 from .krylov import (
     BiCGSTABPressureConfig,
     CGPressureConfig,
+    GMRESPressureConfig,
     MGCGPressureConfig,
+    gmres_solve,
     solve_pressure_krylov,
 )
 from .multigrid import MultigridConfig, multigrid_solve

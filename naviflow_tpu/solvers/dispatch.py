@@ -11,6 +11,7 @@ from __future__ import annotations
 from .krylov import (
     BiCGSTABPressureConfig,
     CGPressureConfig,
+    GMRESPressureConfig,
     MGCGPressureConfig,
     solve_pressure_krylov,
 )
@@ -23,7 +24,7 @@ from .pressure import (
 )
 
 STATIONARY_KINDS = ("jacobi", "rbgs", "direct")
-KRYLOV_KINDS = ("cg", "bicgstab", "mgcg")
+KRYLOV_KINDS = ("cg", "bicgstab", "gmres", "mgcg")
 
 PRESSURE_CONFIG_TYPES = (
     DirectPressureConfig,
@@ -31,6 +32,7 @@ PRESSURE_CONFIG_TYPES = (
     RBGSPressureConfig,
     CGPressureConfig,
     BiCGSTABPressureConfig,
+    GMRESPressureConfig,
     MGCGPressureConfig,
     MultigridConfig,
 )

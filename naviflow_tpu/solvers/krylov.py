@@ -58,6 +58,20 @@ class BiCGSTABPressureConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GMRESPressureConfig:
+    """Matrix-free restarted GMRES(m) (reference exposes GMRES through
+    SciPy — ``BiCGSTAB_solver.py:317-390`` — and as a PETSc KSP type,
+    ``matrix_momentum_solver.py:372-591``; here it is one fused
+    ``lax.while_loop`` of Arnoldi cycles with psum-safe dot products)."""
+
+    tolerance: float = 1e-7
+    max_iterations: int = 2000  # total Arnoldi steps across restarts
+    restart: int = 20
+    preconditioner: str = "jacobi"  # 'none' | 'jacobi'
+    kind: str = "gmres"
+
+
+@dataclasses.dataclass(frozen=True)
 class MGCGPressureConfig:
     """GMG-preconditioned CG — the reference's north-star pressure path
     (``geo_multigrid_cg.py:73-203``): M = ``mg_cycles`` multigrid cycles."""
@@ -160,6 +174,73 @@ def _bicgstab(b, A, M, x0, tol, maxiter):
     return x, r, k
 
 
+def gmres_solve(b, A, M, x0, tol, maxiter, restart):
+    """Restarted GMRES(m) with right preconditioning: solves A x = b via the
+    Krylov space of A∘M, x = M(z).  One ``lax.while_loop`` over restart
+    cycles; each cycle runs the full m Arnoldi steps (modified Gram-Schmidt,
+    statically shaped basis) and solves the (m+1)×m least-squares problem by
+    regularized normal equations — m is small, the basis is orthonormal, so
+    the normal-equation conditioning is benign.
+
+    All reductions are ``jnp.vdot``/``jnp.linalg.norm`` over the field, so on
+    a sharded mesh they lower to psum collectives.  Returns ``(x, r, k)``
+    with k = total Arnoldi steps taken (multiples of m).
+    """
+    dtype = x0.dtype
+    m = restart
+    AM = lambda y: A(M(y))
+    bnorm = jnp.linalg.norm(b)
+    tol_abs = tol * jnp.where(bnorm > 0, bnorm, 1.0)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny * 1e6, dtype)
+
+    def cycle(x, r):
+        beta = jnp.linalg.norm(r)
+        safe_beta = jnp.maximum(beta, tiny)
+        V = jnp.zeros((m + 1,) + x.shape, dtype).at[0].set(r / safe_beta)
+        H = jnp.zeros((m + 1, m), dtype)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = AM(V[j])
+
+            def mgs(i, acc):
+                w, hcol = acc
+                hij = jnp.vdot(V[i], w) * (i <= j)
+                return (w - hij * V[i], hcol.at[i].set(hij))
+
+            w, hcol = jax.lax.fori_loop(0, m, mgs, (w, jnp.zeros(m + 1, dtype)))
+            hn = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(hn)
+            V = V.at[j + 1].set(w / jnp.maximum(hn, tiny))
+            return (V, H.at[:, j].set(hcol))
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+        # min_y || beta e1 - H y || via ridge-regularized normal equations
+        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        G = H.T @ H
+        ridge = jnp.asarray(jnp.finfo(dtype).eps, dtype) * (
+            jnp.trace(G) + jnp.asarray(1.0, dtype)
+        )
+        y = jnp.linalg.solve(G + ridge * jnp.eye(m, dtype=dtype), H.T @ e1)
+        dx = M(jnp.tensordot(y, V[:m], axes=1))
+        x = x + dx
+        return x, b - A(x)
+
+    def cond(carry):
+        x, r, k = carry
+        return (k < maxiter) & (jnp.linalg.norm(r) > tol_abs)
+
+    def body(carry):
+        x, r, k = carry
+        x, r = cycle(x, r)
+        return (x, r, k + m)
+
+    x = x0
+    r = b - A(x)
+    x, r, k = jax.lax.while_loop(cond, body, (x, r, jnp.asarray(0, jnp.int32)))
+    return x, r, k
+
+
 def _jacobi_M(c: PoissonCoeffs):
     inv_d = 1.0 / poisson_diagonal(c, pinned=False)
     return lambda r: r * inv_d
@@ -190,6 +271,9 @@ def solve_pressure_krylov(
             x, r, k = _pcg(b, A, M, p0, cfg.tolerance, cfg.max_iterations)
         elif cfg.kind == "bicgstab":
             x, r, k = _bicgstab(b, A, M, p0, cfg.tolerance, cfg.max_iterations)
+        elif cfg.kind == "gmres":
+            x, r, k = gmres_solve(_zero_mean(b), A, M, _zero_mean(p0),
+                                  cfg.tolerance, cfg.max_iterations, cfg.restart)
         else:
             raise ValueError(f"Unknown Krylov pressure solver: {cfg.kind}")
 

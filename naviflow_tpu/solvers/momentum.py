@@ -54,7 +54,7 @@ def _nbsum(x, c):
 def _assemble_coeffs(u, v, p, *, dx, dy, rho, mu, scheme, is_u):
     if scheme == "power_law":
         fn = u_momentum_coefficients if is_u else v_momentum_coefficients
-        return fn(u if is_u else u, v, p, dx=dx, dy=dy, rho=rho, mu=mu)
+        return fn(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu)
     fn = u_momentum_coefficients9 if is_u else v_momentum_coefficients9
     return fn(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, scheme=scheme)
 
@@ -102,6 +102,21 @@ class IDRSMomentumConfig:
     angle: float = 0.7
     scheme: str = "power_law"
     kind: str = "idrs"
+
+
+@dataclasses.dataclass(frozen=True)
+class GMRESMomentumConfig:
+    """Matrix-free restarted GMRES(m) momentum solve (the reference exposes
+    GMRES via SciPy ``gmres`` in ``BiCGSTAB_solver.py:317-390`` /
+    ``matrix_free_momentum.py:175`` and as a PETSc KSP type; the ILU
+    preconditioner becomes Jacobi scaling — the relaxed momentum system is
+    strongly diagonally dominant)."""
+
+    tolerance: float = 1e-7
+    max_iterations: int = 40  # total Arnoldi steps
+    restart: int = 10
+    scheme: str = "power_law"
+    kind: str = "gmres"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,6 +226,23 @@ def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int):
     return jnp.where(mask, x, x0)
 
 
+def _gmres_masked(x0, c, mask, tol: float, maxiter: int, restart: int):
+    """Restarted GMRES(m) on the masked momentum system with Jacobi right
+    preconditioning (see GMRESMomentumConfig)."""
+    from .krylov import gmres_solve
+
+    mask_f = mask.astype(x0.dtype)
+
+    def A(x):
+        return _apply(x, c) * mask_f
+
+    inv_d = jnp.where(c.a_p == 0, jnp.zeros_like(c.a_p), 1.0 / c.a_p) * mask_f
+    M = lambda r: r * inv_d
+    b = c.src * mask_f
+    x, _, _ = gmres_solve(b, A, M, x0 * mask_f, tol, maxiter, restart)
+    return jnp.where(mask, x, x0)
+
+
 def _idrs_masked(x0, c, mask, tol: float, max_outer: int, s: int, angle: float):
     """IDR(s) on the masked momentum system (see IDRSMomentumConfig)."""
     dtype = x0.dtype
@@ -284,6 +316,9 @@ def _inner_solve(x0, c_rel, mask, cfg):
         return _rbgs_sweeps(x0, c_rel, mask, cfg.n_sweeps, cfg.omega)
     if cfg.kind == "bicgstab":
         return _bicgstab_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations)
+    if cfg.kind == "gmres":
+        return _gmres_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations,
+                             cfg.restart)
     if cfg.kind == "idrs":
         return _idrs_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations,
                             cfg.s, cfg.angle)
