@@ -17,6 +17,7 @@ history buffers, and the final diagnostics.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -201,6 +202,34 @@ def run_outer_loop(
     return finalize(c, tolerance=tolerance, dx=dx, dy=dy)
 
 
+class _StallDetector:
+    """Reference ``simple.py:194-208``: residual change < 0.1% over a
+    ~``window``-iteration span ⇒ stalled (the reference logs without
+    breaking; we record the flag in the diagnostics).
+
+    The host-side loops sample the residual once per ``sample_every``
+    iterations, so the window is tracked in *samples*:
+    ``ceil(window / sample_every) + 1`` of them span >= ``window``
+    iterations.  ``update`` returns the current verdict (re-evaluated every
+    sample, matching the reference's per-iteration log semantics).
+    """
+
+    def __init__(self, window: int = 50, sample_every: int = 10):
+        self.n_samples = max(2, -(-window // max(sample_every, 1)) + 1)
+        self.recent: list = []
+        self.stalled = False
+
+    def update(self, total: float) -> bool:
+        self.recent.append(total)
+        if len(self.recent) > self.n_samples:
+            self.recent = self.recent[-self.n_samples:]
+        if len(self.recent) == self.n_samples:
+            lo, hi = min(self.recent), max(self.recent)
+            avg = sum(self.recent) / len(self.recent)
+            self.stalled = avg > 0 and (hi - lo) / avg < 1e-3
+        return self.stalled
+
+
 def run_outer_loop_chunked(
     step: Callable,
     u0,
@@ -232,7 +261,9 @@ def run_outer_loop_chunked(
     n = max_iterations
     body = make_body(step)
 
-    @jax.jit
+    # the carry is donated: at 2048^2 it is ~20 fields' worth of HBM, and
+    # every chunk would otherwise copy all of them (ROADMAP #5)
+    @functools.partial(jax.jit, donate_argnums=0)
     def run_chunk(c):
         start = c["it"]
         limit = jnp.minimum(start + chunk, n)
@@ -244,16 +275,21 @@ def run_outer_loop_chunked(
 
     fin = jax.jit(lambda c: finalize(c, tolerance=tolerance, dx=dx, dy=dy))
     c = init_carry(u0, v0, p0, extra0, n)
+    detector = _StallDetector(sample_every=chunk)
     while True:
         c = run_chunk(c)
         total = float(c["total"])
         it = int(c["it"])
+        detector.update(total)
         if on_chunk is not None:
             if on_chunk(it, total, c) is False:
                 break
         if total <= tolerance or it >= n or not np.isfinite(total):
             break
-    return fin(c)
+    state, diag = fin(c)
+    if detector.stalled:
+        diag = dataclasses.replace(diag, stalled=jnp.asarray(True))
+    return state, diag
 
 
 def run_outer_loop_host(
@@ -287,9 +323,7 @@ def run_outer_loop_host(
 
     c = init_carry(u0, v0, p0, extra0, n)
     done = 0
-    recent = []
-    stalled = False
-    stall_window = 50
+    detector = _StallDetector(sample_every=check_every)
     while done < n:
         k = min(check_every, n - done)
         for _ in range(k):
@@ -300,18 +334,8 @@ def run_outer_loop_host(
             break
         if not np.isfinite(total):
             break  # diverged — stop burning device time
-        # stall detector (reference simple.py:194-208: window=50, <0.1%
-        # relative change; the reference logs without breaking, we record)
-        recent.append(total)
-        if len(recent) * check_every > stall_window:
-            recent = recent[-max(stall_window // check_every, 2):]
-            lo, hi = min(recent), max(recent)
-            avg = sum(recent) / len(recent)
-            if avg > 0 and (hi - lo) / avg < 1e-3:
-                stalled = True
-        else:
-            stalled = False
+        detector.update(total)
     state, diag = fin(c)
-    if stalled:
+    if detector.stalled:
         diag = dataclasses.replace(diag, stalled=jnp.asarray(True))
     return state, diag

@@ -27,6 +27,7 @@ from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_m
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
+from .lagged import make_lagged_mg, uses_lagged_mg
 from .simple import SIMPLEConfig
 
 
@@ -43,6 +44,11 @@ class PISOConfig(SIMPLEConfig):
 
 def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
     pin = cfg.poisson_variant == "reference"
+    lagged = uses_lagged_mg(pres_cfg)
+    if lagged:
+        refresh, lag_solve, _ = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
 
     corrector_cfg = JacobiMomentumConfig(n_sweeps=cfg.corrector_sweeps)
 
@@ -55,25 +61,34 @@ def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
         )
         return u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm
 
-    def pressure_correct(u_star, v_star, d_u, d_v, p):
+    def pressure_correct(u_star, v_star, d_u, d_v, p, coarse=None):
         b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
         pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
+        if lagged:
+            return lag_solve(b, pc, d_u, d_v, p, coarse)
         return dispatch_pressure_solve(
             b, pc, jnp.zeros_like(p), pres_cfg,
             d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
             variant=cfg.poisson_variant, pin=pin,
         )
 
-    def step(u, v, p, p_max_l2):
+    def step(u, v, p, extra):
+        if lagged:
+            p_max_l2, mg_extra = extra
+        else:
+            p_max_l2 = extra
         # predictor (relaxed, reference :59-71)
         u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm = solve_momentum(
             u, v, p, cfg.alpha_u, mom_cfg
         )
+        # one coarse hierarchy per outer iteration, shared by all
+        # correction passes (the fine operator is always current)
+        coarse = refresh(d_u, d_v, mg_extra) if lagged else None
         inner_total = jnp.asarray(0, jnp.int32)
         p_l2 = jnp.asarray(0.0, p.dtype)
         for k in range(cfg.n_corrections):
-            p_prime, pinfo = pressure_correct(u_star, v_star, d_u, d_v, p)
+            p_prime, pinfo = pressure_correct(u_star, v_star, d_u, d_v, p, coarse)
             inner_total = inner_total + pinfo.iterations
             p_l2 = jnp.linalg.norm(pinfo.residual_field[1:-1, 1:-1])
             p = p + cfg.alpha_p * p_prime
@@ -91,7 +106,8 @@ def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
         p_rel = jnp.where(p_max_l2 > 0, p_l2 / p_max_l2, jnp.ones_like(p_l2))
         info = StepInfo(u_norm=u_norm, v_norm=v_norm, p_norm=p_rel,
                         inner_iterations=inner_total, r_u=r_u, r_v=r_v, r_p=r_p)
-        return u, v, p, p_max_l2, info
+        extra_out = (p_max_l2, (mg_extra[0] + 1, coarse)) if lagged else p_max_l2
+        return u, v, p, extra_out, info
 
     return step
 
@@ -102,9 +118,17 @@ def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
     rho, mu = fluid.get_density(), fluid.get_viscosity()
     step = make_piso_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
                           mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    if uses_lagged_mg(pres_cfg):
+        nx, ny = mesh.get_dimensions()
+        _, _, mg_extra0 = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
+        extra0_fn = lambda dt: (jnp.asarray(0.0, dt), mg_extra0(dt, nx, ny))
+    else:
+        extra0_fn = lambda dt: jnp.asarray(0.0, dt)
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
-        dx=dx, dy=dy, extra0_fn=lambda dt: jnp.asarray(0.0, dt), loop=loop,
+        dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,
     )
 
 

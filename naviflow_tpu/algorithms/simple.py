@@ -38,6 +38,7 @@ from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_m
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
+from .lagged import make_lagged_mg, uses_lagged_mg
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,29 +60,24 @@ class SIMPLEConfig:
     overwrite_boundary_pressure: bool = False
 
 
-def _uses_lagged_mg(pres_cfg) -> bool:
-    return (
-        getattr(pres_cfg, "kind", "") == "multigrid"
-        and getattr(pres_cfg, "coarse_rebuild_every", 1) > 1
-        and getattr(pres_cfg, "smoother", "gs") != "chebyshev"
-    )
-
-
 def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
     """One SIMPLE outer iteration as a pure function (u, v, p, extra) ->.
 
     ``extra`` is the pressure rel-norm running max; with a lagged-multigrid
     pressure config it additionally carries (age, coarse Stencil9 tuple) so
     the Galerkin coarse hierarchy — ~30% of the step cost — is rebuilt only
-    every ``coarse_rebuild_every`` iterations.  The fine operator is always
-    current, so the pressure solve's fixed point is exact.
+    every ``coarse_rebuild_every`` iterations (see ``algorithms.lagged``).
     """
     pin = cfg.poisson_variant == "reference"
-    lagged = _uses_lagged_mg(pres_cfg)
+    lagged = uses_lagged_mg(pres_cfg)
+    if lagged:
+        refresh, lag_solve, _ = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
 
     def step(u, v, p, extra):
         if lagged:
-            p_max_l2, age, coarse_old = extra
+            p_max_l2, mg_extra = extra
         else:
             p_max_l2 = extra
         p_star = p
@@ -98,30 +94,8 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
         pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
         if lagged:
-            from ..ops.stencil9 import from_poisson
-            from ..solvers.multigrid import (
-                build_levels,
-                coarse_stencils,
-                multigrid_solve,
-            )
-
-            coarse = jax.lax.cond(
-                age % pres_cfg.coarse_rebuild_every == 0,
-                lambda: coarse_stencils(
-                    build_levels(d_u, d_v, pres_cfg, dx=dx, dy=dy, rho=rho,
-                                 variant=cfg.poisson_variant)
-                ),
-                lambda: coarse_old,
-            )
-            fine_st = from_poisson(pc)
-            levels = [(fine_st, fine_st.c.shape, True, None)] + [
-                (st, st.c.shape, False, None) for st in coarse
-            ]
-            p_prime, pinfo = multigrid_solve(
-                b, d_u, d_v, jnp.zeros_like(p), pres_cfg,
-                dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant,
-                levels=levels,
-            )
+            coarse = refresh(d_u, d_v, mg_extra)
+            p_prime, pinfo = lag_solve(b, pc, d_u, d_v, p, coarse)
         else:
             p_prime, pinfo = dispatch_pressure_solve(
                 b, pc, jnp.zeros_like(p), pres_cfg,
@@ -147,7 +121,7 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
             r_u=r_u, r_v=r_v, r_p=pinfo.residual_field,
         )
         if lagged:
-            extra_out = (p_max_l2, age + 1, coarse)
+            extra_out = (p_max_l2, (mg_extra[0] + 1, coarse))
         else:
             extra_out = p_max_l2
         return u_new, v_new, p_new, extra_out, info
@@ -163,20 +137,12 @@ def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
         dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
         mom_cfg=mom_cfg, pres_cfg=pres_cfg,
     )
-    if _uses_lagged_mg(pres_cfg):
-        from ..solvers.multigrid import build_levels, coarse_stencils
-
+    if uses_lagged_mg(pres_cfg):
         nx, ny = mesh.get_dimensions()
-
-        def extra0_fn(dt):
-            # structural placeholder; age=0 forces a rebuild in iteration 1
-            d_u0 = jnp.ones((nx + 1, ny), dt) * dy
-            d_v0 = jnp.ones((nx, ny + 1), dt) * dx
-            coarse0 = coarse_stencils(
-                build_levels(d_u0, d_v0, pres_cfg, dx=dx, dy=dy, rho=rho,
-                             variant=cfg.poisson_variant)
-            )
-            return (jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32), coarse0)
+        _, _, mg_extra0 = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
+        extra0_fn = lambda dt: (jnp.asarray(0.0, dt), mg_extra0(dt, nx, ny))
     else:
         extra0_fn = lambda dt: jnp.asarray(0.0, dt)
     return build_solver(

@@ -34,6 +34,7 @@ from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_m
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
+from .lagged import make_lagged_mg, uses_lagged_mg
 from .simple import SIMPLEConfig
 
 
@@ -65,9 +66,17 @@ def _smooth_p_prime(p_prime):
 
 def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_cfg):
     pin = cfg.poisson_variant == "reference"
+    lagged = uses_lagged_mg(pres_cfg)
+    if lagged:
+        refresh, lag_solve, _ = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
 
     def step(u, v, p, extra):
-        alpha_p, prev_res = extra
+        if lagged:
+            alpha_p, prev_res, mg_extra = extra
+        else:
+            alpha_p, prev_res = extra
         p_star = p
         u_star, d_u, r_u, _ = solve_u_momentum(
             u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
@@ -85,11 +94,15 @@ def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_
         b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
         pc = poisson_coefficients(d_u_c, d_v_c, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
-        p_prime, pinfo = dispatch_pressure_solve(
-            b, pc, jnp.zeros_like(p), pres_cfg,
-            d_u=d_u_c, d_v=d_v_c, dx=dx, dy=dy, rho=rho,
-            variant=cfg.poisson_variant, pin=pin,
-        )
+        if lagged:
+            coarse = refresh(d_u_c, d_v_c, mg_extra)
+            p_prime, pinfo = lag_solve(b, pc, d_u_c, d_v_c, p, coarse)
+        else:
+            p_prime, pinfo = dispatch_pressure_solve(
+                b, pc, jnp.zeros_like(p), pres_cfg,
+                d_u=d_u_c, d_v=d_v_c, dx=dx, dy=dy, rho=rho,
+                variant=cfg.poisson_variant, pin=pin,
+            )
         if cfg.smooth_p_prime:
             p_prime = _smooth_p_prime(p_prime)
 
@@ -114,7 +127,11 @@ def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_
             inner_iterations=pinfo.iterations,
             r_u=r_u, r_v=r_v, r_p=pinfo.residual_field,
         )
-        return u_new, v_new, p_new, (alpha_p, total), info
+        if lagged:
+            extra_out = (alpha_p, total, (mg_extra[0] + 1, coarse))
+        else:
+            extra_out = (alpha_p, total)
+        return u_new, v_new, p_new, extra_out, info
 
     return step
 
@@ -125,7 +142,16 @@ def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
     rho, mu = fluid.get_density(), fluid.get_viscosity()
     step = make_simplec_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
                              mom_cfg=mom_cfg, pres_cfg=pres_cfg)
-    extra0_fn = lambda dt: (jnp.asarray(cfg.alpha_p, dt), jnp.asarray(jnp.inf, dt))
+    if uses_lagged_mg(pres_cfg):
+        nx, ny = mesh.get_dimensions()
+        _, _, mg_extra0 = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
+        extra0_fn = lambda dt: (jnp.asarray(cfg.alpha_p, dt),
+                                jnp.asarray(jnp.inf, dt), mg_extra0(dt, nx, ny))
+    else:
+        extra0_fn = lambda dt: (jnp.asarray(cfg.alpha_p, dt),
+                                jnp.asarray(jnp.inf, dt))
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
         dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,

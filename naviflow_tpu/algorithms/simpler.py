@@ -33,6 +33,7 @@ from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_m
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
+from .lagged import make_lagged_mg, uses_lagged_mg
 from .simple import SIMPLEConfig
 
 
@@ -43,7 +44,11 @@ class SIMPLERConfig(SIMPLEConfig):
 
 def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_cfg):
     pin = cfg.poisson_variant == "reference"
-    n_cells_sqrt = None  # set lazily from p shape
+    lagged = uses_lagged_mg(pres_cfg)
+    if lagged:
+        refresh, lag_solve, _ = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
 
     def solve_momentum(u, v, p):
         u_star, d_u, r_u, u_norm = solve_u_momentum(
@@ -54,29 +59,39 @@ def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_
         )
         return u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm
 
-    def pressure_solve(u_star, v_star, d_u, d_v, p):
+    def pressure_solve(u_star, v_star, d_u, d_v, p, coarse=None):
         b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
         pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
+        if lagged:
+            return lag_solve(b, pc, d_u, d_v, p, coarse)
         return dispatch_pressure_solve(
             b, pc, jnp.zeros_like(p), pres_cfg,
             d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
             variant=cfg.poisson_variant, pin=pin,
         )
 
-    def step(u, v, p, p_max_l2):
+    def step(u, v, p, extra):
+        if lagged:
+            p_max_l2, mg_extra = extra
+        else:
+            p_max_l2 = extra
         p_old = p
         # 1. momentum prediction (old p)
         u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm = solve_momentum(u, v, p)
+        # one coarse hierarchy per outer iteration, shared by both pressure
+        # solves (the d-fields barely change between them; the fine operator
+        # is always current so both fixed points stay exact)
+        coarse = refresh(d_u, d_v, mg_extra) if lagged else None
         # 2. intermediate pressure p_bar
-        p_bar, info1 = pressure_solve(u_star, v_star, d_u, d_v, p)
+        p_bar, info1 = pressure_solve(u_star, v_star, d_u, d_v, p, coarse)
         p = p + p_bar
         if cfg.overwrite_boundary_pressure:
             p = enforce_pressure_bcs(p, bc)
         # 3. momentum with p_bar-updated pressure
         u_star, v_star, d_u, d_v, _, _, _, _ = solve_momentum(u, v, p)
         # 4. correction pressure p'
-        p_prime, info2 = pressure_solve(u_star, v_star, d_u, d_v, p)
+        p_prime, info2 = pressure_solve(u_star, v_star, d_u, d_v, p, coarse)
         # 5. final pressure & velocity
         p = p + cfg.alpha_p * p_prime
         if cfg.overwrite_boundary_pressure:
@@ -91,7 +106,8 @@ def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_
             inner_iterations=info1.iterations + info2.iterations,
             r_u=r_u, r_v=r_v, r_p=info2.residual_field,
         )
-        return u, v, p, p_max_l2, info
+        extra_out = (p_max_l2, (mg_extra[0] + 1, coarse)) if lagged else p_max_l2
+        return u, v, p, extra_out, info
 
     return step
 
@@ -102,9 +118,17 @@ def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
     rho, mu = fluid.get_density(), fluid.get_viscosity()
     step = make_simpler_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
                              mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    if uses_lagged_mg(pres_cfg):
+        nx, ny = mesh.get_dimensions()
+        _, _, mg_extra0 = make_lagged_mg(
+            pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
+        )
+        extra0_fn = lambda dt: (jnp.asarray(0.0, dt), mg_extra0(dt, nx, ny))
+    else:
+        extra0_fn = lambda dt: jnp.asarray(0.0, dt)
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
-        dx=dx, dy=dy, extra0_fn=lambda dt: jnp.asarray(0.0, dt), loop=loop,
+        dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,
     )
 
 

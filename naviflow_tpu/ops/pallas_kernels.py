@@ -11,10 +11,11 @@ that leaves the domain (``poisson_coefficients`` constructs them that way),
 so the circular wrap of ``pltpu.roll`` is annihilated by the zero
 coefficients — no edge masking is needed inside the kernel.
 
-Each kernel operates on the full (nx, ny) arrays in VMEM (fine up to
-~1024^2 f32); the public wrappers fall back to the pure-jnp path on other
-backends, under ``interpret=True`` on CPU for tests, or when the arrays
-would not fit.
+Each kernel operates on the full (nx, ny) arrays in VMEM (up to
+``PALLAS_MAX_CELLS`` = 256^2 f32 — 7 arrays + double buffering against the
+16 MB scoped-VMEM limit); the public wrappers fall back to the pure-jnp
+path on other backends, under ``interpret=True`` on CPU for tests, or when
+the arrays would not fit.
 """
 
 from __future__ import annotations
@@ -116,7 +117,7 @@ def rbgs_sweeps_pallas(p, b, c: PoissonCoeffs, *, n_sweeps: int = 1,
             0, n_sweeps, lambda _, q: rbgs_sweep(q, b, c, omega, pin=False), p
         )
     kernel = functools.partial(_rbgs_kernel, n_sweeps, omega)
-    spec = pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),

@@ -28,24 +28,11 @@ in ``tests/test_distributed.py``).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
-from ..core.bc import BoundaryConditions, apply_velocity_bcs_window
-from ..core.mesh import StructuredMesh
-from ..ops.powerlaw import relax_coefficients
-from ..ops.stencil import StencilCoeffs, apply_stencil, neighbor_sum
-from ..ops.windowed import (
-    poisson_coefficients_window,
-    u_coefficients_window,
-    v_coefficients_window,
-)
+from ..ops.stencil import StencilCoeffs
 
 
 # --------------------------------------------------------------------------

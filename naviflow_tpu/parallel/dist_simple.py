@@ -29,7 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.bc import BoundaryConditions, apply_velocity_bcs_window
 from ..core.fluid import FluidProperties
@@ -189,7 +189,7 @@ def make_distributed_step(
         mesh=mesh_dev,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec, spec, rep),
-        check_rep=False,
+        check_vma=False,
     )
 
 

@@ -11,10 +11,7 @@ farm at most).  Here large grids shard across devices the TPU-native way:
   1-cell halo exchanges (collective-permutes over ICI) automatically, and
   every ``jnp.linalg.norm`` / ``jnp.vdot`` reduction becomes a cross-device
   ``psum``.  This is the GSPMD formulation of the halo-exchange domain
-  decomposition described in SURVEY §7 step 7;
-* multigrid coarse levels fall below the useful-sharding size; the
-  ``coarse_sharding_cutoff`` below marks where fields should be gathered to
-  replicated storage (applied via ``with_sharding_constraint`` hooks).
+  decomposition described in SURVEY §7 step 7.
 
 Tests run on ``--xla_force_host_platform_device_count=8`` virtual CPU
 devices; the driver's ``dryrun_multichip`` uses the same entry points.
@@ -29,9 +26,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.state import FlowState
-
-# Below this many cells per axis, keep multigrid levels replicated.
-COARSE_SHARDING_CUTOFF = 64
 
 
 def make_device_mesh(
@@ -85,13 +79,3 @@ def shard_state(state: FlowState, mesh: Mesh) -> FlowState:
         v=jax.device_put(state.v, best_effort_sharding(state.v.shape, mesh)),
         p=jax.device_put(state.p, best_effort_sharding(state.p.shape, mesh)),
     )
-
-
-def constrain_spatial(x, mesh: Optional[Mesh]):
-    """Annotate an intermediate field with the spatial sharding (no-op when
-    mesh is None); gathers to replicated below the coarse cutoff."""
-    if mesh is None:
-        return x
-    if min(x.shape[-2:]) < COARSE_SHARDING_CUTOFF:
-        return jax.lax.with_sharding_constraint(x, replicated(mesh))
-    return jax.lax.with_sharding_constraint(x, field_sharding(mesh))

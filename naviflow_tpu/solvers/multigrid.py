@@ -265,7 +265,12 @@ def multigrid_solve(
     p, cycles, rel = jax.lax.while_loop(
         cond, body, (p_start, jnp.asarray(0, jnp.int32), big)
     )
-    p = p - jnp.mean(p)
+    if variant != "reference":
+        # Gauge-free (singular) operator: remove the constant mode.  The
+        # 'reference' variant folds boundary faces into the diagonal, making
+        # A nonsingular (A·1 != 0); shifting would leave a spurious boundary
+        # residual in the returned diagnostics.
+        p = p - jnp.mean(p)
     r = b - apply9(p, st_fine)
     return p, PressureSolveInfo(iterations=cycles, residual_field=r, rel_residual=rel)
 
