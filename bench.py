@@ -2,25 +2,69 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Headline configuration mirrors the reference's only published number
-(BASELINE.md: GMG V-cycle SIMPLE, Re=100 cavity, 4.98 s wall to residual
-~1e-3 on an Apple M3 Pro, 116 outer iterations — ``main_scripts/05
-geo_multigrid/README.md``).  We run the same physics at the same grid and
-tolerance and report wall-clock + MLUPS; ``vs_baseline`` is the speedup
-(baseline_seconds / ours).
+Three measurements in the one line:
+
+* headline — the reference's only published number (BASELINE.md: GMG
+  V-cycle SIMPLE, Re=100 cavity 63^2, 4.98 s wall to residual ~1e-3 on an
+  Apple M3 Pro, ``main_scripts/05 geo_multigrid/README.md``): same physics,
+  same grid, same tolerance; ``vs_baseline`` = baseline_seconds / ours.
+  Note this tolerance regime does NOT pass the reference's own 10% Ghia
+  validation gate (``simulation_result.py:262-264``) — neither does the
+  reference's run; it is a speed-parity row, hence the companion row below.
+* ``validated`` — the same case converged to 1e-5, with the Ghia
+  infinity-norm error and the explicit ``ghia_passed`` 10%-gate verdict.
+* ``large_grid`` — measured (not inferred) per-iteration throughput of the
+  full SIMPLE step at BENCH_BIG_NX^2 (default 1024^2) in MLUPS and GLUPS
+  (BASELINE.json metric; north star >= 1 GLUPS per v5e chip).
 
 Env overrides: BENCH_NX (grid, default 63), BENCH_RE (default 100),
-BENCH_TOL (outer tolerance, default 1e-3), BENCH_MAXIT, and
-BENCH_MODE=seq for the grid-sequenced large-grid benchmark (wall clock to
-1e-5 on a BENCH_NX=1024 cavity — the BASELINE.json headline metric).
+BENCH_TOL (headline tolerance, default 1e-3), BENCH_MAXIT, BENCH_BIG_NX
+(default 1024; 0 disables the large-grid row), and BENCH_MODE=seq for the
+grid-sequenced large-grid convergence benchmark (wall clock to 1e-5 on a
+BENCH_NX=1024 cavity — the BASELINE.json headline metric).
 """
 
 import json
 import os
+import struct
 import sys
 import time
 
 REFERENCE_WALL_S = 4.98  # reference 05 geo_multigrid/README.md:22-26 (63^2 Re=100)
+GHIA_GATE = 0.1  # reference simulation_result.py:262-264
+
+
+def _fresh_state(mesh, bc, scale=1e-7):
+    """Tunneled TPU runtimes memoize identical executions (program + input
+    values), so every run — warm-up and timed — gets a unique, physically
+    negligible perturbation of the initial pressure field."""
+    import jax
+    import jax.numpy as jnp
+    import naviflow_tpu as nf
+
+    seed = struct.unpack("<I", os.urandom(4))[0]
+    noise = jax.random.uniform(jax.random.PRNGKey(seed), mesh.p_shape,
+                               jnp.float32, 0.0, scale)
+    s = nf.initialize_state(mesh, bc)
+    return s.replace(p=s.p + noise)
+
+
+def _timed_solve(solve_fn, mesh, bc, n_runs=3):
+    """Median wall of ``n_runs``; clock closes over a host VALUE fetch of a
+    scalar output — unlike block_until_ready, a data fetch cannot complete
+    before the computation has run (tunneled runtimes have been observed to
+    return early from block_until_ready).  ~25 ms fetch overhead included."""
+    import jax.numpy as jnp
+
+    walls, out = [], None
+    for _ in range(n_runs):
+        state = _fresh_state(mesh, bc)
+        float(jnp.sum(state.p))  # materialize inputs before the clock starts
+        t0 = time.perf_counter()
+        out = solve_fn(state)
+        float(out[1].final_residual)
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[len(walls) // 2], out
 
 
 def main():
@@ -28,7 +72,6 @@ def main():
 
     enable_persistent_cache()
     import jax
-    import jax.numpy as jnp
     import naviflow_tpu as nf
     from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
     from naviflow_tpu.solvers import KrylovMomentumConfig
@@ -42,76 +85,106 @@ def main():
     re = float(os.environ.get("BENCH_RE", 100))
     tol = float(os.environ.get("BENCH_TOL", 1e-3))
     maxit = int(os.environ.get("BENCH_MAXIT", 4000))
+    big_nx = int(os.environ.get("BENCH_BIG_NX", 1024))
 
     mesh = nf.StructuredMesh(nx=nx, ny=nx)
     fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
     bc = nf.lid_driven_cavity(1.0)
 
-    cfg = SIMPLEConfig(max_iterations=maxit, tolerance=tol)
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=20)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=6, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8)
 
-    # Tunneled TPU runtimes memoize identical executions (program + input
-    # values), so every run — warm-up and timed — gets a unique, physically
-    # negligible perturbation of the initial pressure field.
-    def fresh_state():
-        import struct
-
-        seed = struct.unpack("<I", os.urandom(4))[0]
-        noise = jax.random.uniform(jax.random.PRNGKey(seed), mesh.p_shape,
-                                   jnp.float32, 0.0, 1e-7)
-        s = nf.initialize_state(mesh, bc)
-        return s.replace(p=s.p + noise)
-
-    final, diag = simple_solve(mesh, fluid, bc, fresh_state(), cfg,
-                               momentum=mom, pressure=pres)
-    jax.block_until_ready(final.u)
-
-    # Timed runs (median of 3).  Timing closes over a host VALUE fetch of a
-    # scalar output — unlike block_until_ready, a data fetch cannot complete
-    # before the computation has actually run (tunneled runtimes have been
-    # observed to return early from block_until_ready).  The ~25 ms fetch
-    # overhead is included (conservative).
-    walls = []
-    for _ in range(3):
-        state = fresh_state()
-        float(jnp.sum(state.p))  # materialize inputs before the clock starts
-        t0 = time.perf_counter()
-        final, diag = simple_solve(mesh, fluid, bc, state, cfg,
+    # ---- headline: reference-parity tolerance (1e-3) ----------------------
+    cfg = SIMPLEConfig(max_iterations=maxit, tolerance=tol)
+    solve = lambda s: simple_solve(mesh, fluid, bc, s, cfg,
                                    momentum=mom, pressure=pres)
-        float(diag.final_residual)
-        walls.append(time.perf_counter() - t0)
-    wall = sorted(walls)[1]
-
+    solve(_fresh_state(mesh, bc))  # warm-up / compile
+    wall, (final, diag) = _timed_solve(solve, mesh, bc)
     iters = int(diag.iterations)
-    mlups = iters * nx * nx / wall / 1e6
     err = infinity_norm_error(final.u, final.v, mesh, re)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"wall_clock_to_{tol:g}_residual_{nx}x{nx}_Re{int(re)}_GMG_SIMPLE",
-                "value": round(wall, 4),
-                "unit": "s",
-                "vs_baseline": round(REFERENCE_WALL_S / wall, 2) if nx == 63 else None,
-                "outer_iterations": iters,
-                "converged": bool(diag.converged),
-                "final_residual": float(diag.final_residual),
-                "max_divergence": float(diag.max_divergence),
-                "ghia_infinity_error": round(err, 5),
-                "mlups_outer": round(mlups, 3),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    row = {
+        "metric": f"wall_clock_to_{tol:g}_residual_{nx}x{nx}_Re{int(re)}_GMG_SIMPLE",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_WALL_S / wall, 2) if nx == 63 else None,
+        "outer_iterations": iters,
+        "converged": bool(diag.converged),
+        "final_residual": float(diag.final_residual),
+        "max_divergence": float(diag.max_divergence),
+        "ghia_infinity_error": round(err, 5),
+        "ghia_passed": bool(err < GHIA_GATE),
+        "mlups_outer": round(iters * nx * nx / wall / 1e6, 3),
+        "device": str(jax.devices()[0]),
+    }
+
+    # ---- validated companion: converge to 1e-5, check the 10% Ghia gate ---
+    cfg_v = SIMPLEConfig(max_iterations=maxit, tolerance=1e-5)
+    solve_v = lambda s: simple_solve(mesh, fluid, bc, s, cfg_v,
+                                     momentum=mom, pressure=pres)
+    solve_v(_fresh_state(mesh, bc))
+    wall_v, (final_v, diag_v) = _timed_solve(solve_v, mesh, bc, n_runs=1)
+    err_v = infinity_norm_error(final_v.u, final_v.v, mesh, re)
+    row["validated"] = {
+        "tolerance": 1e-5,
+        "wall_seconds": round(wall_v, 4),
+        "outer_iterations": int(diag_v.iterations),
+        "converged": bool(diag_v.converged),
+        "ghia_infinity_error": round(err_v, 5),
+        "ghia_passed": bool(err_v < GHIA_GATE),
+    }
+
+    # ---- large-grid throughput: measured ms/iter at big_nx^2 --------------
+    if big_nx:
+        row["large_grid"] = _bench_large_grid(big_nx, re)
+
+    print(json.dumps(row))
+
+
+def _bench_large_grid(nx, re, n_iters=30):
+    """Measured full-SIMPLE-step throughput at ``nx^2``: a fixed fused block
+    of ``n_iters`` outer iterations (one bounded program — tunneled workers
+    kill executions beyond ~60-100 s), timed through a host value fetch."""
+    import jax
+    import jax.numpy as jnp
+    import naviflow_tpu as nf
+    from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
+    from naviflow_tpu.solvers import KrylovMomentumConfig
+    from naviflow_tpu.solvers.multigrid import MultigridConfig
+
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+    bc = nf.lid_driven_cavity(1.0)
+    cfg = SIMPLEConfig(max_iterations=n_iters, tolerance=0.0)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
+                           check_every=2, coarsest_sweeps=32,
+                           coarse_rebuild_every=8)
+
+    solve = lambda s: simple_solve(mesh, fluid, bc, s, cfg,
+                                   momentum=mom, pressure=pres, loop="fused")
+    solve(_fresh_state(mesh, bc))  # compile
+    state = _fresh_state(mesh, bc)
+    float(jnp.sum(state.p))
+    t0 = time.perf_counter()
+    _, diag = solve(state)
+    float(diag.final_residual)
+    wall = time.perf_counter() - t0
+    updates = n_iters * nx * nx
+    return {
+        "nx": nx,
+        "iterations_timed": n_iters,
+        "ms_per_iteration": round(wall / n_iters * 1e3, 2),
+        "mlups": round(updates / wall / 1e6, 1),
+        "glups": round(updates / wall / 1e9, 4),
+    }
 
 
 def _bench_sequenced():
     """Grid-sequenced 1024^2 cavity to 1e-5 (the BASELINE headline metric)."""
     import jax
-    import jax.numpy as jnp
     import naviflow_tpu as nf
     from naviflow_tpu.algorithms import (SIMPLEConfig, grid_sequence_solve,
                                          simple_solve)
@@ -131,7 +204,6 @@ def _bench_sequenced():
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8)
-    import struct
 
     t0 = time.perf_counter()
     final, diag, summ = grid_sequence_solve(
@@ -151,6 +223,7 @@ def _bench_sequenced():
         "fine_level_iterations": summ[-1]["iterations"],
         "levels": summ,
         "ghia_infinity_error": round(err, 5),
+        "ghia_passed": bool(err < GHIA_GATE),
         "mlups_outer": round(total_updates / wall / 1e6, 2),
         "device": str(jax.devices()[0]),
     }))

@@ -40,6 +40,9 @@ def _build_parser():
     sweep = sub.add_parser("sweep", help="grid x Reynolds sweep (replaces the shell job farm)")
     _case_args(sweep, multi=True)
     sweep.add_argument("--out", default="results", help="output directory")
+    sweep.add_argument("--vmap", action="store_true",
+                       help="batch all Reynolds numbers of each grid size "
+                            "into one vmapped program (data parallel)")
     return p
 
 
@@ -204,6 +207,59 @@ def _run_case(args, nx, re):
     return result, summary
 
 
+def _run_batched(args, nx, res):
+    """One vmapped program for all Reynolds numbers at this grid size
+    (``algorithms.batch.batched_cavity_solve``)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    import naviflow_tpu as nf
+    from .algorithms import (
+        PISOConfig, SIMPLECConfig, SIMPLERConfig, SIMPLEConfig,
+        batched_cavity_solve,
+    )
+    from .postprocessing.result import result_from_solve
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    bc = nf.lid_driven_cavity(1.0)
+    mom, pres = _make_solvers(args)
+    cfg_cls = {"simple": SIMPLEConfig, "simplec": SIMPLECConfig,
+               "simpler": SIMPLERConfig, "piso": PISOConfig}[args.algorithm]
+    cfg = cfg_cls(alpha_p=args.alpha_p, alpha_u=args.alpha_u,
+                  max_iterations=args.max_iterations, tolerance=args.tolerance)
+    t0 = _time.perf_counter()
+    results = batched_cavity_solve(
+        mesh, res, bc, cfg, mom, pres, algorithm=args.algorithm,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+    )
+    jax.block_until_ready(results[-1][0].u)
+    wall = _time.perf_counter() - t0
+    rows = []
+    for re, (final, diag) in zip(res, results):
+        fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+        result = result_from_solve(mesh, fluid, final, diag,
+                                   algorithm=args.algorithm.upper())
+        summary = dict(
+            nx=nx, reynolds=re, algorithm=args.algorithm,
+            pressure=args.pressure, momentum=args.momentum, scheme=args.scheme,
+            iterations=result.iterations, converged=result.converged,
+            final_residual=float(diag.final_residual),
+            max_divergence=result.get_max_divergence(),
+            wall_seconds_batch=round(wall, 3), batched=len(res),
+        )
+        try:
+            summary.update(result.validate_against_benchmark())
+        except Exception:
+            pass
+        rows.append(summary)
+        print(json.dumps(summary), flush=True)
+    return rows
+
+
 def main(argv=None):
     from .utils.jaxcache import enable_persistent_cache
 
@@ -237,11 +293,15 @@ def main(argv=None):
     if args.command == "sweep":
         os.makedirs(args.out, exist_ok=True)
         rows = []
-        for nx in args.nx:
-            for re in args.re:
-                _, summary = _run_case(args, nx, re)
-                rows.append(summary)
-                print(json.dumps(summary), flush=True)
+        if args.vmap:
+            for nx in args.nx:
+                rows.extend(_run_batched(args, nx, args.re))
+        else:
+            for nx in args.nx:
+                for re in args.re:
+                    _, summary = _run_case(args, nx, re)
+                    rows.append(summary)
+                    print(json.dumps(summary), flush=True)
         with open(os.path.join(args.out, "sweep_summary.json"), "w") as f:
             json.dump(rows, f, indent=2)
         return 0

@@ -97,3 +97,30 @@ def test_simple_with_mgcg_pressure():
     )
     assert bool(diag.converged)
     assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+
+
+def test_batched_cavity_solve_matches_individual():
+    """One vmapped program over Reynolds = the per-case solves, bitwise.
+
+    Also checks the while_loop batching masks per-case carries: each case
+    freezes at its own iteration count (DP sweep, SURVEY §2.3)."""
+    from naviflow_tpu.algorithms import (SIMPLEConfig, batched_cavity_solve,
+                                         simple_solve)
+
+    mesh, _, bc, state = _setup()
+    cfg = SIMPLEConfig(max_iterations=800, tolerance=1e-5)
+    pres = MultigridConfig(tolerance=1e-3, max_cycles=20)
+    res = [100.0, 400.0]
+    batched = batched_cavity_solve(mesh, res, bc, cfg, MOM, pres,
+                                   algorithm="simple", dtype=jnp.float64)
+    iters = []
+    for re, (bf, bd) in zip(res, batched):
+        fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+        sf, sd = simple_solve(mesh, fluid, bc, state, cfg, momentum=MOM,
+                              pressure=pres, loop="fused")
+        assert bool(bd.converged) and bool(sd.converged)
+        assert int(bd.iterations) == int(sd.iterations)
+        np.testing.assert_allclose(np.asarray(bf.u), np.asarray(sf.u),
+                                   rtol=0, atol=1e-12)
+        iters.append(int(bd.iterations))
+    assert iters[0] != iters[1]  # per-case freezing, not lockstep
