@@ -205,10 +205,13 @@ def _bench_sequenced():
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8)
 
+    # keep each fused chunk under the tunneled worker's ~60 s watchdog:
+    # ~14 ms/iter at 1024^2, ~4x per refinement
+    chunk = int(os.environ.get("BENCH_CHUNK", 300 if nx <= 1024 else 100))
     t0 = time.perf_counter()
     final, diag, summ = grid_sequence_solve(
         mesh, fluid, bc, simple_solve, cfg, momentum=mom, pressure=pres,
-        loop="chunked:300",
+        loop=f"chunked:{chunk}",
         perturb_seed=struct.unpack("<I", os.urandom(4))[0],
     )
     err = infinity_norm_error(final.u, final.v, mesh, re)

@@ -1,0 +1,165 @@
+"""Large-scale single-chip demonstration runs (BASELINE config 5 et al.).
+
+Usage (real TPU; each prints one JSON line, appends to SCALE_RUNS.jsonl):
+
+    python benchmarks/scale_runs.py re1000-4096    # 4096^2 Re=1000 -> 1e-5
+    python benchmarks/scale_runs.py re5000-1024    # Re continuation @1024^2
+    python benchmarks/scale_runs.py re5000-2048
+    python benchmarks/scale_runs.py re10000-511    # high-Re envelope (odd grid)
+    python benchmarks/scale_runs.py re8500-511
+
+BASELINE.json config 5 is "Re=5000, 1024^2-4096^2, spatially sharded"; on
+this one-chip environment the runs demonstrate the resolution/Re envelope
+single-chip (the sharded step itself is validated on the 8-device CPU mesh
+in tests/test_distributed.py and tests/test_dist_mg.py).
+"""
+
+import json
+import os
+import struct
+import sys
+import time
+
+
+def _common():
+    from naviflow_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import naviflow_tpu as nf
+    from naviflow_tpu.algorithms import (
+        SIMPLEConfig, grid_sequence_solve, sequenced_continuation_solve,
+        simple_solve)
+    from naviflow_tpu.solvers import KrylovMomentumConfig
+    from naviflow_tpu.solvers.multigrid import MultigridConfig
+    from naviflow_tpu.postprocessing.validation import infinity_norm_error
+
+    return (nf, SIMPLEConfig, grid_sequence_solve,
+            sequenced_continuation_solve, simple_solve, KrylovMomentumConfig,
+            MultigridConfig, infinity_norm_error)
+
+
+def _emit(row):
+    line = json.dumps(row)
+    print(line, flush=True)
+    with open(os.path.join(os.path.dirname(__file__), "SCALE_RUNS.jsonl"),
+              "a") as f:
+        f.write(line + "\n")
+
+
+def run_re1000_4096():
+    (nf, SIMPLEConfig, grid_sequence_solve, _, simple_solve,
+     KrylovMomentumConfig, MultigridConfig, inf_err) = _common()
+
+    nx = 4096
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=1000)
+    bc = nf.lid_driven_cavity(1.0)
+    cfg = SIMPLEConfig(max_iterations=20000, tolerance=1e-5)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
+                           check_every=2, coarsest_sweeps=32,
+                           coarse_rebuild_every=8)
+    t0 = time.perf_counter()
+    final, diag, summ = grid_sequence_solve(
+        mesh, fluid, bc, simple_solve, cfg, momentum=mom, pressure=pres,
+        loop="chunked:100", max_levels=7, coarsest=64,
+        perturb_seed=struct.unpack("<I", os.urandom(4))[0],
+    )
+    wall = time.perf_counter() - t0
+    err = inf_err(final.u, final.v, mesh, 1000)
+    _emit(dict(run="re1000-4096", nx=nx, re=1000, tolerance=1e-5,
+               wall_seconds=round(wall, 1), levels=summ,
+               converged=all(s["converged"] for s in summ),
+               fine_iterations=summ[-1]["iterations"],
+               ghia_infinity_error=round(float(err), 5)))
+
+
+def run_re5000(nx):
+    (nf, SIMPLEConfig, _, sequenced_continuation_solve, simple_solve,
+     KrylovMomentumConfig, MultigridConfig, inf_err) = _common()
+
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    bc = nf.lid_driven_cavity(1.0)
+    schedule = [1000.0, 2000.0, 3200.0, 5000.0]
+    cfg = SIMPLEConfig(max_iterations=30000, tolerance=1e-5,
+                       alpha_p=0.2, alpha_u=0.6)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
+                           check_every=2, coarsest_sweeps=32,
+                           coarse_rebuild_every=8)
+    t0 = time.perf_counter()
+    final, diag, summ = sequenced_continuation_solve(
+        mesh, schedule, bc, simple_solve, cfg, momentum=mom, pressure=pres,
+        loop="chunked:100", coarsest=128, max_levels=5,
+        perturb_seed=struct.unpack("<I", os.urandom(4))[0],
+    )
+    wall = time.perf_counter() - t0
+    err = inf_err(final.u, final.v, mesh, 5000)
+    _emit(dict(run=f"re5000-{nx}", nx=nx, re=5000, tolerance=1e-5,
+               wall_seconds=round(wall, 1), levels=summ,
+               converged=bool(diag.converged),
+               ghia_infinity_error=round(float(err), 5)))
+
+
+def run_highre_511(re_target):
+    (nf, SIMPLEConfig, _, sequenced_continuation_solve, simple_solve,
+     KrylovMomentumConfig, MultigridConfig, inf_err) = _common()
+
+    nx = 511
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    bc = nf.lid_driven_cavity(1.0)
+    schedule = [1000.0, 3200.0, 5000.0, 6500.0, 7500.0, 8500.0]
+    if re_target > 8500:
+        schedule += [9200.0, 10000.0]
+    schedule = [r for r in schedule if r <= re_target]
+    if schedule[-1] != re_target:
+        schedule.append(re_target)
+
+    def per_re(re):
+        # back off relaxation near the steady branch's stability limit
+        if re >= 8500:
+            return SIMPLEConfig(max_iterations=40000, tolerance=1e-5,
+                                alpha_p=0.12, alpha_u=0.5)
+        if re >= 6500:
+            return SIMPLEConfig(max_iterations=30000, tolerance=1e-5,
+                                alpha_p=0.18, alpha_u=0.6)
+        return SIMPLEConfig(max_iterations=20000, tolerance=1e-5,
+                            alpha_p=0.25, alpha_u=0.7)
+
+    cfg = per_re(re_target)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=30)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=10, cycle_type="v",
+                           check_every=2, coarsest_sweeps=48)
+    t0 = time.perf_counter()
+    final, diag, summ = sequenced_continuation_solve(
+        mesh, schedule, bc, simple_solve, cfg, momentum=mom, pressure=pres,
+        loop="chunked:200", coarsest=63, max_levels=4,
+        per_re_cfg=per_re, per_level_cfg=lambda nx_: per_re(re_target),
+        perturb_seed=struct.unpack("<I", os.urandom(4))[0],
+    )
+    wall = time.perf_counter() - t0
+    err = inf_err(final.u, final.v, mesh, re_target)
+    _emit(dict(run=f"re{int(re_target)}-511", nx=nx, re=re_target,
+               tolerance=1e-5, wall_seconds=round(wall, 1), levels=summ,
+               converged=bool(diag.converged),
+               final_residual=float(diag.final_residual),
+               ghia_infinity_error=round(float(err), 5)))
+
+
+if __name__ == "__main__":
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    which = sys.argv[1] if len(sys.argv) > 1 else "re1000-4096"
+    if which == "re1000-4096":
+        run_re1000_4096()
+    elif which == "re5000-1024":
+        run_re5000(1024)
+    elif which == "re5000-2048":
+        run_re5000(2048)
+    elif which == "re10000-511":
+        run_highre_511(10000.0)
+    elif which == "re8500-511":
+        run_highre_511(8500.0)
+    else:
+        raise SystemExit(f"unknown run: {which}")

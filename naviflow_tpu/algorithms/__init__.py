@@ -9,4 +9,5 @@ from .sequencing import (
     grid_sequence_solve,
     prolong_state,
     reynolds_continuation_solve,
+    sequenced_continuation_solve,
 )

@@ -92,6 +92,72 @@ def reynolds_continuation_solve(
     return state, diag, summaries
 
 
+def sequenced_continuation_solve(
+    mesh: StructuredMesh,
+    reynolds_schedule,
+    bc: BoundaryConditions,
+    solve_fn,
+    cfg,
+    *,
+    momentum,
+    pressure,
+    loop: str = "auto",
+    coarsest: int = 32,
+    max_levels: int = 6,
+    dtype=jnp.float32,
+    per_re_cfg=None,
+    per_level_cfg=None,
+    perturb_seed: int = None,
+) -> Tuple[FlowState, object, list]:
+    """Grid sequencing composed with Reynolds continuation (ROADMAP #8).
+
+    The full Reynolds schedule is walked at the *coarsest* ladder level
+    (continuation there is nearly free), then each finer level solves only
+    at the target (final) Re, warm-started from the prolonged coarse state.
+    This is the high-Re envelope strategy: cold starts at Re >= 7500
+    stall/diverge (the reference's ``results/notConverged/511/``), while
+    the tracked branch converges level by level.
+
+    ``per_re_cfg(re) -> cfg`` customizes the coarsest-level continuation;
+    ``per_level_cfg(nx) -> cfg`` customizes the refinement levels.
+    """
+    ladder = build_ladder(mesh.nx, coarsest=coarsest, max_levels=max_levels)
+    summaries = []
+    re_target = reynolds_schedule[-1]
+
+    # coarsest level: walk the Re schedule from rest
+    nx_c = ladder[-1]
+    coarse_mesh = StructuredMesh(nx=nx_c, ny=nx_c, length=mesh.length,
+                                 height=mesh.height)
+    state = initialize_state(coarse_mesh, bc, dtype)
+    if perturb_seed is not None:
+        noise = jax.random.uniform(jax.random.PRNGKey(perturb_seed),
+                                   coarse_mesh.p_shape, dtype, 0.0, 1e-7)
+        state = state.replace(p=state.p + noise)
+    state, diag, cont_summ = reynolds_continuation_solve(
+        coarse_mesh, reynolds_schedule, bc, solve_fn, cfg,
+        momentum=momentum, pressure=pressure, loop=loop, state=state,
+        per_re_cfg=per_re_cfg,
+    )
+    summaries.append(dict(nx=nx_c, continuation=cont_summ))
+
+    # finer levels: target Re only, warm-started
+    fluid = FluidProperties(density=1.0, reynolds_number=re_target)
+    for nx in reversed(ladder[:-1]):
+        level_mesh = StructuredMesh(nx=nx, ny=nx, length=mesh.length,
+                                    height=mesh.height)
+        state = prolong_state(state, level_mesh, bc)
+        level_cfg = per_level_cfg(nx) if per_level_cfg else cfg
+        state, diag = solve_fn(level_mesh, fluid, bc, state, level_cfg,
+                               momentum=momentum, pressure=pressure, loop=loop)
+        summaries.append(
+            dict(nx=nx, reynolds=re_target, iterations=int(diag.iterations),
+                 converged=bool(diag.converged),
+                 final_residual=float(diag.final_residual))
+        )
+    return state, diag, summaries
+
+
 def grid_sequence_solve(
     mesh: StructuredMesh,
     fluid: FluidProperties,

@@ -127,12 +127,14 @@ def galerkin_coarsen(st: Stencil9, restrict_fn, prolong_fn, nxc: int, nyc: int) 
     ii = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 1)
 
-    # all nine comb applications batched through one vmapped P -> A -> R chain
-    combs = jnp.stack(
-        [_comb((nxc, nyc), a, b, dtype) for a in range(3) for b in range(3)]
-    )
-    images = jax.vmap(lambda x: restrict_fn(apply9(prolong_fn(x), st)))(combs)
-    images = images.reshape(3, 3, nxc, nyc)
+    # nine comb applications of the composite P -> A -> R chain (a plain
+    # loop, not vmap, so the arithmetic matches the distributed build in
+    # parallel/dist_mg.py bit-for-bit — vmap batching changes XLA fusion
+    # and costs a couple of ULPs)
+    images = jnp.stack(
+        [restrict_fn(apply9(prolong_fn(_comb((nxc, nyc), a, b, dtype)), st))
+         for a in range(3) for b in range(3)]
+    ).reshape(3, 3, nxc, nyc)
 
     entries = {}
     for (di, dj), name in _OFFSET_NAMES.items():

@@ -32,6 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .highorder import SCHEME_WEIGHTS, MomentumCoeffs9, _assemble, shift
 from .poisson import PoissonCoeffs
 from .powerlaw import power_law_A
 from .stencil import StencilCoeffs
@@ -158,6 +159,98 @@ def v_coefficients_window(
     z = lambda x: jnp.where(unsolved, zero, x)
     return StencilCoeffs(a_e=z(a_e), a_w=z(a_w), a_n=z(a_n), a_s=z(a_s),
                          a_p=z(a_p), src=z(src))
+
+
+def u_coefficients9_window(
+    u_ext2, v_ext2, p_ext2, *, gi0, gj0, nx, ny, dx, dy, rho, mu,
+    scheme="quick",
+) -> MomentumCoeffs9:
+    """Windowed 9-point (QUICK/LUDS) u-momentum assembly.
+
+    Two-ring halo-extended inputs (``parallel/decompose.extend_*2``):
+
+    * ``u_ext2`` (nxl+5, nyl+4): faces gi0-2..gi0+nxl+2 x cells gj0-2..gj0+nyl+1
+    * ``v_ext2`` (nxl+4, nyl+5): cells gi0-2..gi0+nxl+1 x faces gj0-2..gj0+nyl+2
+    * ``p_ext2`` (nxl+4, nyl+4): cells, two rings
+
+    The assembly runs on the extended window (every boundary special case a
+    global-index mask, exactly as ``highorder.u_momentum_coefficients9``)
+    and the result is cropped to the local (nxl+1, nyl) faces — every
+    +-2 shift the cropped region needs stays inside the extension.
+    Matches the global assembly bit-for-bit (``tests/test_windowed.py``).
+    """
+    weights = SCHEME_WEIGHTS[scheme]
+    De = mu * dy / dx
+    Dn = mu * dx / dy
+
+    GI, GJ = _globals_2d(u_ext2.shape, gi0 - 2, gj0 - 2)
+    solved = (GI >= 1) & (GI <= nx - 1) & (GJ >= 1) & (GJ <= ny - 2)
+
+    Fe = 0.5 * rho * dy * (shift(u_ext2, 1, 0) + u_ext2)
+    Fw = 0.5 * rho * dy * (shift(u_ext2, -1, 0) + u_ext2)
+    # vN[r,c] = v[i, j+1] + v[i-1, j+1] at face i = gi0-2+r, cell j = gj0-2+c
+    va = v_ext2[:, 1:]  # (nxl+4, nyl+4), col c = face j+1
+    vN = jnp.pad(va, ((0, 1), (0, 0))) + jnp.pad(va, ((1, 0), (0, 0)))
+    vb = v_ext2[:, :-1]  # col c = face j
+    vS = jnp.pad(vb, ((0, 1), (0, 0))) + jnp.pad(vb, ((1, 0), (0, 0)))
+    Fn = 0.5 * rho * dx * vN
+    Fs = 0.5 * rho * dx * vS
+    zero = jnp.zeros_like(Fe)
+    Fn = jnp.where(GJ == ny - 1, zero, Fn)
+    Fs = jnp.where(GJ == 0, zero, Fs)
+
+    ok_e = GI <= nx - 2
+    ok_w = GI >= 2
+    ok_n = GJ <= ny - 3
+    ok_s = GJ >= 2
+
+    p_i = jnp.pad(p_ext2, ((0, 1), (0, 0)))    # row r = p[i]
+    p_im1 = jnp.pad(p_ext2, ((1, 0), (0, 0)))  # row r = p[i-1]
+    src = (p_im1 - p_i) * dy
+
+    c = _assemble((Fe, Fw, Fn, Fs), (De, Dn), (ok_e, ok_w, ok_n, ok_s),
+                  weights, src, solved, u_ext2)
+    return jax.tree_util.tree_map(lambda a: a[2:-2, 2:-2], c)
+
+
+def v_coefficients9_window(
+    u_ext2, v_ext2, p_ext2, *, gi0, gj0, nx, ny, dx, dy, rho, mu,
+    scheme="quick",
+) -> MomentumCoeffs9:
+    """Windowed 9-point v-momentum assembly (mirror of the u variant);
+    output (nxl, nyl+1)."""
+    weights = SCHEME_WEIGHTS[scheme]
+    De = mu * dy / dx
+    Dn = mu * dx / dy
+
+    GI, GJ = _globals_2d(v_ext2.shape, gi0 - 2, gj0 - 2)
+    solved = (GI >= 1) & (GI <= nx - 2) & (GJ >= 1) & (GJ <= ny - 1)
+
+    # uE[r,c] = u[i+1, j] + u[i+1, j-1] at cell i = gi0-2+r, face j = gj0-2+c
+    ua = u_ext2[1:, :]   # row r = face i+1; (nxl+4, nyl+4)
+    uE = jnp.pad(ua, ((0, 0), (0, 1))) + jnp.pad(ua, ((0, 0), (1, 0)))
+    ub = u_ext2[:-1, :]  # row r = face i
+    uW = jnp.pad(ub, ((0, 0), (0, 1))) + jnp.pad(ub, ((0, 0), (1, 0)))
+    Fe = 0.5 * rho * dy * uE
+    Fw = 0.5 * rho * dy * uW
+    Fn = 0.5 * rho * dx * (v_ext2 + shift(v_ext2, 0, 1))
+    Fs = 0.5 * rho * dx * (shift(v_ext2, 0, -1) + v_ext2)
+    zero = jnp.zeros_like(Fe)
+    Fe = jnp.where(GI == nx - 1, zero, Fe)
+    Fw = jnp.where(GI == 0, zero, Fw)
+
+    ok_e = GI <= nx - 3
+    ok_w = GI >= 2
+    ok_n = GJ <= ny - 2
+    ok_s = GJ >= 2
+
+    p_j = jnp.pad(p_ext2, ((0, 0), (0, 1)))
+    p_jm1 = jnp.pad(p_ext2, ((0, 0), (1, 0)))
+    src = (p_jm1 - p_j) * dx
+
+    c = _assemble((Fe, Fw, Fn, Fs), (De, Dn), (ok_e, ok_w, ok_n, ok_s),
+                  weights, src, solved, v_ext2)
+    return jax.tree_util.tree_map(lambda a: a[2:-2, 2:-2], c)
 
 
 def poisson_coefficients_window(

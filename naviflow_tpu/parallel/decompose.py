@@ -77,14 +77,20 @@ def _perm_down(n):
     return [(i + 1, i) for i in range(n - 1)]
 
 
-def _halo(a, axis: int, name: str, n_shards: int, lo_send: int, hi_send: int):
-    """Return (halo_lo, halo_hi): 1-wide slices received from the lower /
-    upper neighbor along mesh axis ``name`` (zeros at physical edges).
+def _halo(a, axis: int, name: str, n_shards: int, lo_send: int, hi_send: int,
+          width: int = 1):
+    """Return (halo_lo, halo_hi): ``width``-wide slices received from the
+    lower / upper neighbor along mesh axis ``name`` (zeros at physical
+    edges).
 
-    ``lo_send``: index of MY slice that the upper neighbor uses as its lo
-    halo; ``hi_send``: index of my slice the lower neighbor uses as hi halo.
+    ``lo_send``: start index of MY slice that the upper neighbor uses as
+    its lo halo; ``hi_send``: start index of my slice the lower neighbor
+    uses as hi halo.
     """
-    take = lambda idx: jax.lax.slice_in_dim(a, idx % a.shape[axis], (idx % a.shape[axis]) + 1, axis=axis)
+    def take(idx):
+        s = idx % a.shape[axis]
+        return jax.lax.slice_in_dim(a, s, s + width, axis=axis)
+
     if n_shards == 1:
         z = jnp.zeros_like(take(0))
         return z, z
@@ -137,12 +143,70 @@ def extend_v(v_loc, dec: Decomp):
     return jnp.concatenate([lo_y, v, hi_y], 1)
 
 
+def extend_u2(u_loc, dec: Decomp):
+    """(nxl+1, nyl) -> (nxl+5, nyl+4): TWO halo rings (zeros at physical
+    edges) for the 9-point QUICK/LUDS momentum stencils.
+
+    x halos are the neighbor's second and third faces from the shared edge
+    (the shared face itself is duplicated locally); y halos are two
+    neighbor cell columns.
+    """
+    lo_x, hi_x = _halo(u_loc, 0, "x", dec.mx, lo_send=-3, hi_send=1, width=2)
+    u = jnp.concatenate([lo_x, u_loc, hi_x], 0)
+    lo_y, hi_y = _halo(u, 1, "y", dec.my, lo_send=-2, hi_send=0, width=2)
+    return jnp.concatenate([lo_y, u, hi_y], 1)
+
+
+def extend_v2(v_loc, dec: Decomp):
+    """(nxl, nyl+1) -> (nxl+4, nyl+5)."""
+    lo_x, hi_x = _halo(v_loc, 0, "x", dec.mx, lo_send=-2, hi_send=0, width=2)
+    v = jnp.concatenate([lo_x, v_loc, hi_x], 0)
+    lo_y, hi_y = _halo(v, 1, "y", dec.my, lo_send=-3, hi_send=1, width=2)
+    return jnp.concatenate([lo_y, v, hi_y], 1)
+
+
+def extend_p2(p_loc, dec: Decomp):
+    """(nxl, nyl) -> (nxl+4, nyl+4): two halo rings."""
+    lo_x, hi_x = _halo(p_loc, 0, "x", dec.mx, lo_send=-2, hi_send=0, width=2)
+    p = jnp.concatenate([lo_x, p_loc, hi_x], 0)
+    lo_y, hi_y = _halo(p, 1, "y", dec.my, lo_send=-2, hi_send=0, width=2)
+    return jnp.concatenate([lo_y, p, hi_y], 1)
+
+
 def extend_p(p_loc, dec: Decomp):
     """(nxl, nyl) -> (nxl+2, nyl+2)."""
     lo_x, hi_x = _halo(p_loc, 0, "x", dec.mx, lo_send=-1, hi_send=0)
     p = jnp.concatenate([lo_x, p_loc, hi_x], 0)
     lo_y, hi_y = _halo(p, 1, "y", dec.my, lo_send=-1, hi_send=0)
     return jnp.concatenate([lo_y, p, hi_y], 1)
+
+
+def extend_p_edge(p_loc, dec: Decomp):
+    """(nxl, nyl) -> (nxl+2, nyl+2) with *edge-replicated* physical
+    boundaries (interior halos from neighbors as usual).
+
+    This is the halo flavor the cell-centered bilinear prolongation needs:
+    ``ops/transfer_cc.prolong_cc`` clamps at domain edges, so a block's
+    halo at a physical wall must replicate its own edge row — equivalently
+    the global array padded with ``mode='edge'`` and sliced per block.
+    Corners ride two hops (x exchange first, then y on the extended array).
+    """
+    lo_x, hi_x = _halo(p_loc, 0, "x", dec.mx, lo_send=-1, hi_send=0)
+    bx = jax.lax.axis_index("x")
+    lo_x = jnp.where(bx == 0, p_loc[:1], lo_x)
+    hi_x = jnp.where(bx == dec.mx - 1, p_loc[-1:], hi_x)
+    p = jnp.concatenate([lo_x, p_loc, hi_x], 0)
+    lo_y, hi_y = _halo(p, 1, "y", dec.my, lo_send=-1, hi_send=0)
+    by = jax.lax.axis_index("y")
+    lo_y = jnp.where(by == 0, p[:, :1], lo_y)
+    hi_y = jnp.where(by == dec.my - 1, p[:, -1:], hi_y)
+    return jnp.concatenate([lo_y, p, hi_y], 1)
+
+
+def gather_blocks(x_loc):
+    """Local (a, b) block -> full global array, replicated on every device."""
+    gx = jax.lax.all_gather(x_loc, "x", axis=0, tiled=True)
+    return jax.lax.all_gather(gx, "y", axis=1, tiled=True)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,302 @@
+"""Fully distributed geometric multigrid on the device mesh.
+
+Replaces the round-1 hybrid (which gathered at the *first* coarse level,
+wasting the mesh on every level below nx/2) with a hierarchy whose fine
+levels live as blocks on the 2-D device mesh down to a ``gather_cutoff``
+(~32^2 global), below which levels are gathered once and run replicated.
+This is SURVEY §5's "fine levels sharded; coarse levels gathered" plan and
+the distributed counterpart of the reference's recursive GMG
+(``naviflow_oo/solver/pressure_solver/multigrid.py:304-432``).
+
+Everything is an exact distributed replica of the single-device algorithm
+(``solvers/multigrid.py``) — same op sequence, ULP-level agreement (XLA's
+FMA contraction choices differ between the sharded and global programs):
+
+* **Galerkin RAP per level** by the same nine-comb trick
+  (``ops/stencil9.galerkin_coarsen``), with comb classes computed on
+  *global* indices and P/A applied block-locally with halo exchange;
+* **4-color Gauss-Seidel smoothing**: every neighbor of a cell has a
+  different color, so refreshing halos before each quarter-sweep makes the
+  masked block update identical to the global masked update — all devices
+  sweep colors in the same order, so the halo always carries the neighbor's
+  current (same-global-state) values;
+* **cell-centered transfers**: 2x2-average restriction is block-local
+  (even block sizes); bilinear prolongation reads a one-ring coarse halo
+  with edge replication at physical walls (``decompose.extend_p_edge``),
+  matching ``transfer_cc.prolong_cc``'s clamping;
+* **replicated tail** below the cutoff: the gathered stencil continues
+  through ``solvers.multigrid.levels_from_stencil`` and the standard
+  ``_cycle``.
+
+Verified in ``tests/test_dist_mg.py``: hierarchy stencils and whole
+V-cycles match the single-device ones to ULP level on an 8-device CPU
+mesh, and distributed-MGCG SIMPLE iteration counts are identical across
+device-mesh shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.stencil9 import Stencil9, stencil9_diagonal
+from ..ops.transfer_cc import restrict_cc
+from ..solvers.multigrid import MultigridConfig, _cycle, levels_from_stencil
+from .decompose import Decomp, extend_p, extend_p_edge, gather_blocks
+
+
+# --------------------------------------------------------------------------
+# block-local 9-point operator application (halo'd)
+# --------------------------------------------------------------------------
+
+def apply9_halo(x_loc, st: Stencil9, dec: Decomp):
+    """A @ x on a local block: one halo ring (zeros at physical edges,
+    matching the zero-padded shifts of ``ops/stencil9.apply9``)."""
+    x = extend_p(x_loc, dec)
+    return (
+        st.c * x[1:-1, 1:-1]
+        + st.e * x[2:, 1:-1]
+        + st.w * x[:-2, 1:-1]
+        + st.n * x[1:-1, 2:]
+        + st.s * x[1:-1, :-2]
+        + st.ne * x[2:, 2:]
+        + st.nw * x[:-2, 2:]
+        + st.se * x[2:, :-2]
+        + st.sw * x[:-2, :-2]
+    )
+
+
+def rb2_sweep_halo(p, b, st: Stencil9, dec: Decomp, omega: float = 1.0):
+    """Two-color red-black SOR on a block == the global ``_rb2_sweep``
+    (valid when the corner entries are zero — the 5-point finest level).
+    Colors are global parity; halos refreshed before each half-sweep."""
+    gi0 = jax.lax.axis_index("x") * dec.nxl
+    gj0 = jax.lax.axis_index("y") * dec.nyl
+    ii = gi0 + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    jj = gj0 + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    red = (ii + jj) % 2 == 0
+    inv_c = 1.0 / stencil9_diagonal(st)
+
+    def half(p, color):
+        off = apply9_halo(p, st, dec) - st.c * p
+        p_new = (b - off) * inv_c
+        return jnp.where(color, p + omega * (p_new - p), p)
+
+    p = half(p, red)
+    return half(p, jnp.logical_not(red))
+
+
+def gs4_sweep_halo(p, b, st: Stencil9, dec: Decomp, omega: float = 1.0):
+    """One four-color GS sweep on a block == the global ``gs4_sweep``:
+    halos are refreshed before each quarter, and all devices update the
+    same color simultaneously, so every neighbor read sees exactly the
+    value the global sweep would."""
+    gi0 = jax.lax.axis_index("x") * dec.nxl
+    gj0 = jax.lax.axis_index("y") * dec.nyl
+    ii = gi0 + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    jj = gj0 + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    inv_c = 1.0 / stencil9_diagonal(st)
+
+    def quarter(p, color_mask):
+        off = apply9_halo(p, st, dec) - st.c * p
+        p_new = (b - off) * inv_c
+        return jnp.where(color_mask, p + omega * (p_new - p), p)
+
+    for a in range(2):
+        for bpar in range(2):
+            p = quarter(p, (ii % 2 == a) & (jj % 2 == bpar))
+    return p
+
+
+def jacobi9_sweep_halo(p, b, st: Stencil9, dec: Decomp, omega: float = 0.8):
+    r = b - apply9_halo(p, st, dec)
+    return p + omega * r / stencil9_diagonal(st)
+
+
+def prolong_cc_halo(c_loc, dec_c: Decomp):
+    """Block-local bilinear cell-centered prolongation == the global
+    ``transfer_cc.prolong_cc`` sliced per block: prolong the one-ring
+    edge-replicated extension, crop the two fine ghost rows per side."""
+    from ..ops.transfer_cc import prolong_cc
+
+    ext = extend_p_edge(c_loc, dec_c)
+    return prolong_cc(ext)[2:-2, 2:-2]
+
+
+# --------------------------------------------------------------------------
+# distributed Galerkin coarsening (global-index comb trick)
+# --------------------------------------------------------------------------
+
+def galerkin_coarsen_dist(st_loc: Stencil9, dec_f: Decomp) -> Stencil9:
+    """Exact block-local A_c = R A P (cell-centered transfers).
+
+    Identical arithmetic to ``ops/stencil9.galerkin_coarsen`` with
+    ``restrict_cc``/``prolong_cc``: comb classes and the out-of-grid mask
+    use *global* coarse indices; each comb image is computed block-locally
+    with halo'd P -> A -> R.  Requires even local block sizes.
+    """
+    from ..ops.stencil9 import _OFFSET_NAMES
+
+    nxc, nyc = dec_f.nx // 2, dec_f.ny // 2
+    dec_c = Decomp(nx=nxc, ny=nyc, mx=dec_f.mx, my=dec_f.my)
+    dtype = st_loc.c.dtype
+    shape_c = (dec_c.nxl, dec_c.nyl)
+    gi0 = jax.lax.axis_index("x") * dec_c.nxl
+    gj0 = jax.lax.axis_index("y") * dec_c.nyl
+    ii = gi0 + jax.lax.broadcasted_iota(jnp.int32, shape_c, 0)
+    jj = gj0 + jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
+
+    images = []
+    for a in range(3):
+        for b in range(3):
+            comb = ((ii % 3 == a) & (jj % 3 == b)).astype(dtype)
+            fine = prolong_cc_halo(comb, dec_c)
+            images.append(restrict_cc(apply9_halo(fine, st_loc, dec_f)))
+    images = jnp.stack(images).reshape(3, 3, *shape_c)
+
+    li = jax.lax.broadcasted_iota(jnp.int32, shape_c, 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
+    entries = {}
+    for (di, dj), name in _OFFSET_NAMES.items():
+        a_idx = (ii + di) % 3
+        b_idx = (jj + dj) % 3
+        val = images[a_idx, b_idx, li, lj]
+        inside = (
+            (ii + di >= 0) & (ii + di <= nxc - 1)
+            & (jj + dj >= 0) & (jj + dj <= nyc - 1)
+        )
+        entries[name] = jnp.where(inside, val, jnp.zeros_like(val))
+    return Stencil9(**entries)
+
+
+# --------------------------------------------------------------------------
+# hierarchy build + cycle
+# --------------------------------------------------------------------------
+
+def n_dist_levels(dec: Decomp, gather_cutoff: int, coarsest: int) -> int:
+    """How many levels (including the finest) stay distributed: coarsen
+    while the next level is still above the gather cutoff AND the local
+    blocks halve evenly."""
+    n = 1
+    nx, ny, nxl, nyl = dec.nx, dec.ny, dec.nxl, dec.nyl
+    while (
+        min(nx, ny) // 2 > gather_cutoff
+        and nxl % 2 == 0 and nyl % 2 == 0
+        and min(nx, ny) // 2 > coarsest
+    ):
+        nx, ny, nxl, nyl = nx // 2, ny // 2, nxl // 2, nyl // 2
+        n += 1
+    return n
+
+
+def build_dist_levels(
+    st_fine: Stencil9, dec: Decomp, cfg: MultigridConfig,
+    gather_cutoff: int = 32,
+) -> Tuple[List[Tuple[Stencil9, Decomp]], list]:
+    """(distributed levels finest->coarsest, replicated tail levels).
+
+    ``st_fine`` is the block-local fine operator.  The tail starts from the
+    gathered stencil one coarsening below the last distributed level and is
+    built with the standard single-device Galerkin recurrence, so the full
+    ladder is bit-identical to ``solvers.multigrid.build_levels`` on the
+    global operator.
+    """
+    n_d = n_dist_levels(dec, gather_cutoff, cfg.coarsest_grid_size)
+    dist = [(st_fine, dec)]
+    st, d = st_fine, dec
+    for _ in range(n_d - 1):
+        st = galerkin_coarsen_dist(st, d)
+        d = Decomp(nx=d.nx // 2, ny=d.ny // 2, mx=d.mx, my=d.my)
+        dist.append((st, d))
+
+    # one more distributed coarsening produces the tail's level-0 operator,
+    # gathered to replicated
+    tail = []
+    if min(d.nx, d.ny) > cfg.coarsest_grid_size:
+        if d.nxl % 2 == 0 and d.nyl % 2 == 0:
+            st_c = galerkin_coarsen_dist(st, d)
+            st_g = jax.tree_util.tree_map(gather_blocks, st_c)
+            tail = levels_from_stencil(st_g, d.nx // 2, d.ny // 2, cfg)
+        else:
+            # blocks can no longer halve: gather THIS level and coarsen
+            # replicated from here (the level itself stays distributed for
+            # smoothing; the tail recursion starts one level down)
+            st_g = jax.tree_util.tree_map(gather_blocks, st)
+            tail = levels_from_stencil(st_g, d.nx, d.ny, cfg)[1:]
+    return dist, tail
+
+
+def _smooth_dist(p, b, st, dec, cfg, n, five_point: bool):
+    """Mirror of ``solvers.multigrid._smooth``: red-black SOR on the
+    5-point finest level, 4-color GS on the 9-point Galerkin levels."""
+    if cfg.smoother == "jacobi":
+        fn = lambda q: jacobi9_sweep_halo(q, b, st, dec, min(cfg.omega, 0.9))
+    elif five_point:
+        fn = lambda q: rb2_sweep_halo(q, b, st, dec, cfg.omega)
+    else:
+        fn = lambda q: gs4_sweep_halo(q, b, st, dec, cfg.omega)
+    for _ in range(n):
+        p = fn(p)
+    return p
+
+
+def dist_cycle(p, b, dist_levels, tail_levels, lvl, cfg: MultigridConfig):
+    """One V/W cycle; levels ``lvl..`` distributed, then the replicated
+    tail via the standard single-device ``_cycle``.  Mirrors
+    ``solvers.multigrid._cycle`` exactly."""
+    st, dec = dist_levels[lvl]
+    five = lvl == 0  # the fine operator is 5-point; Galerkin levels 9-point
+
+    if lvl == len(dist_levels) - 1 and not tail_levels:
+        return _smooth_dist(p, b, st, dec, cfg, cfg.coarsest_sweeps, five)
+
+    p = _smooth_dist(p, b, st, dec, cfg, cfg.pre_smoothing, five)
+    r = b - apply9_halo(p, st, dec)
+
+    if lvl + 1 < len(dist_levels):
+        rc = restrict_cc(r)  # block-local: deeper levels have even blocks
+        ec = jnp.zeros_like(rc)
+        ec = dist_cycle(ec, rc, dist_levels, tail_levels, lvl + 1, cfg)
+        if cfg.cycle_type == "w" and not (
+            lvl + 2 == len(dist_levels) and not tail_levels
+        ):
+            ec = dist_cycle(ec, rc, dist_levels, tail_levels, lvl + 1, cfg)
+        corr = prolong_cc_halo(ec, dist_levels[lvl + 1][1])
+    else:
+        # gather boundary: restrict/prolong run on the replicated global
+        # arrays (the cutoff block may be odd-sized; the data is <= ~32^2)
+        from ..ops.transfer_cc import prolong_cc
+
+        r_g = gather_blocks(r)
+        rc_g = restrict_cc(r_g)
+        ec_g = _cycle(jnp.zeros_like(rc_g), rc_g, tail_levels, 0, cfg)
+        if cfg.cycle_type == "w" and len(tail_levels) > 1:
+            ec_g = _cycle(ec_g, rc_g, tail_levels, 0, cfg)
+        ef_g = prolong_cc(ec_g)
+        i0 = jax.lax.axis_index("x") * dec.nxl
+        j0 = jax.lax.axis_index("y") * dec.nyl
+        corr = jax.lax.dynamic_slice(ef_g, (i0, j0), (dec.nxl, dec.nyl))
+
+    p = p + corr
+    return _smooth_dist(p, b, st, dec, cfg, cfg.post_smoothing, five)
+
+
+def make_dist_mg_preconditioner(st_fine: Stencil9, dec: Decomp,
+                                cfg: MultigridConfig, *,
+                                gather_cutoff: int = 32, n_cycles: int = 1):
+    """M^{-1} r ~= ``n_cycles`` distributed multigrid cycles from a zero
+    guess (the distributed analog of ``multigrid.make_preconditioner``)."""
+    dist_levels, tail_levels = build_dist_levels(
+        st_fine, dec, cfg, gather_cutoff=gather_cutoff
+    )
+
+    def apply_M(r):
+        e = jnp.zeros_like(r)
+        for _ in range(n_cycles):
+            e = dist_cycle(e, r, dist_levels, tail_levels, 0, cfg)
+        return e
+
+    return apply_M

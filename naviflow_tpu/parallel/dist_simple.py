@@ -35,18 +35,24 @@ from ..core.bc import BoundaryConditions, apply_velocity_bcs_window
 from ..core.fluid import FluidProperties
 from ..core.mesh import StructuredMesh
 from ..core.state import FlowState
+from ..ops.highorder import _OFFSETS, MomentumCoeffs9, relax_coefficients9
 from ..ops.powerlaw import relax_coefficients
 from ..ops.windowed import (
     poisson_coefficients_window,
+    u_coefficients9_window,
     u_coefficients_window,
+    v_coefficients9_window,
     v_coefficients_window,
 )
 from .decompose import (
     Decomp,
     apply_stencil_halo,
     extend_p,
+    extend_p2,
     extend_u,
+    extend_u2,
     extend_v,
+    extend_v2,
     from_blocked_u,
     from_blocked_v,
     neighbor_sum_halo,
@@ -54,6 +60,21 @@ from .decompose import (
     to_blocked_u,
     to_blocked_v,
 )
+
+
+def neighbor_sum9_halo(x_loc, c: MomentumCoeffs9, extend2_fn, dec: Decomp):
+    """sum(a_nb * x_nb) on a local block with two halo rings."""
+    x = extend2_fn(x_loc, dec)
+    a, b = x_loc.shape
+    sl = lambda di, dj: x[2 + di : 2 + di + a, 2 + dj : 2 + dj + b]
+    out = jnp.zeros_like(x_loc)
+    for name, (di, dj) in _OFFSETS.items():
+        out = out + getattr(c, name) * sl(di, dj)
+    return out
+
+
+def apply_momentum9_halo(x_loc, c: MomentumCoeffs9, extend2_fn, dec: Decomp):
+    return c.a_p * x_loc - neighbor_sum9_halo(x_loc, c, extend2_fn, dec)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +87,9 @@ class DistributedConfig:
     max_iterations: int = 1000
     tolerance: float = 1e-5
     momentum_sweeps: int = 2
+    # momentum discretization: 'power_law' (5-pt, 1-ring halos) or
+    # 'quick'/'luds' (9-pt second-neighbor stencils, 2-ring halos)
+    scheme: str = "power_law"
     # 'chebcg': CG preconditioned by a degree-`cheby_degree` Chebyshev
     # polynomial of D^-1 A (distributed power iteration estimates the
     # spectral bound) — ~5x fewer halo'd matvec rounds than plain
@@ -77,6 +101,9 @@ class DistributedConfig:
     cheby_degree: int = 8
     cheby_theta: float = 30.0
     check_every: int = 10
+    # 'mgcg' pressure: global level size below which the distributed
+    # multigrid hierarchy is gathered to replicated (parallel/dist_mg.py)
+    gather_cutoff: int = 32
 
 
 def _iotas(shape, gi0, gj0):
@@ -108,15 +135,36 @@ def make_distributed_step(
         u, v = apply_velocity_bcs_window(u, v, bc, gi0=gi0, gj0=gj0, nx=nx, ny=ny)
 
         # ---- momentum predictors -------------------------------------------
-        u_ext = extend_u(u, dec)
-        v_ext = extend_v(v, dec)
-        p_ext = extend_p(p, dec)
-        cu = u_coefficients_window(u_ext, v_ext, p_ext, gi0=gi0, gj0=gj0,
-                                   nx=nx, ny=ny, dx=dx, dy=dy, rho=rho, mu=mu)
-        cv = v_coefficients_window(u_ext, v_ext, p_ext, gi0=gi0, gj0=gj0,
-                                   nx=nx, ny=ny, dx=dx, dy=dy, rho=rho, mu=mu)
-        cur = relax_coefficients(cu, u, alpha)
-        cvr = relax_coefficients(cv, v, alpha)
+        if cfg.scheme == "power_law":
+            u_ext = extend_u(u, dec)
+            v_ext = extend_v(v, dec)
+            p_ext = extend_p(p, dec)
+            cu = u_coefficients_window(u_ext, v_ext, p_ext, gi0=gi0, gj0=gj0,
+                                       nx=nx, ny=ny, dx=dx, dy=dy, rho=rho, mu=mu)
+            cv = v_coefficients_window(u_ext, v_ext, p_ext, gi0=gi0, gj0=gj0,
+                                       nx=nx, ny=ny, dx=dx, dy=dy, rho=rho, mu=mu)
+            cur = relax_coefficients(cu, u, alpha)
+            cvr = relax_coefficients(cv, v, alpha)
+            nbsum_u = lambda x, c: neighbor_sum_halo(x, c, extend_u, dec)
+            nbsum_v = lambda x, c: neighbor_sum_halo(x, c, extend_v, dec)
+            apply_u = lambda x, c: apply_stencil_halo(x, c, extend_u, dec)
+            apply_v = lambda x, c: apply_stencil_halo(x, c, extend_v, dec)
+        else:  # QUICK / LUDS: 9-point stencils, two halo rings
+            u_ext2 = extend_u2(u, dec)
+            v_ext2 = extend_v2(v, dec)
+            p_ext2 = extend_p2(p, dec)
+            cu = u_coefficients9_window(
+                u_ext2, v_ext2, p_ext2, gi0=gi0, gj0=gj0, nx=nx, ny=ny,
+                dx=dx, dy=dy, rho=rho, mu=mu, scheme=cfg.scheme)
+            cv = v_coefficients9_window(
+                u_ext2, v_ext2, p_ext2, gi0=gi0, gj0=gj0, nx=nx, ny=ny,
+                dx=dx, dy=dy, rho=rho, mu=mu, scheme=cfg.scheme)
+            cur = relax_coefficients9(cu, u, alpha)
+            cvr = relax_coefficients9(cv, v, alpha)
+            nbsum_u = lambda x, c: neighbor_sum9_halo(x, c, extend_u2, dec)
+            nbsum_v = lambda x, c: neighbor_sum9_halo(x, c, extend_v2, dec)
+            apply_u = lambda x, c: apply_momentum9_halo(x, c, extend_u2, dec)
+            apply_v = lambda x, c: apply_momentum9_halo(x, c, extend_v2, dec)
 
         GIu, GJu = _iotas(u.shape, gi0, gj0)
         GIv, GJv = _iotas(v.shape, gi0, gj0)
@@ -127,11 +175,11 @@ def make_distributed_step(
         safe_apv = jnp.where(cvr.a_p == 0, jnp.ones_like(cvr.a_p), cvr.a_p)
 
         def u_sweep(_, x):
-            x_new = (neighbor_sum_halo(x, cur, extend_u, dec) + cur.src) / safe_apu
+            x_new = (nbsum_u(x, cur) + cur.src) / safe_apu
             return jnp.where(mask_u, x_new, x)
 
         def v_sweep(_, x):
-            x_new = (neighbor_sum_halo(x, cvr, extend_v, dec) + cvr.src) / safe_apv
+            x_new = (nbsum_v(x, cvr) + cvr.src) / safe_apv
             return jnp.where(mask_v, x_new, x)
 
         u_star = jax.lax.fori_loop(0, cfg.momentum_sweeps, u_sweep, u)
@@ -146,11 +194,11 @@ def make_distributed_step(
         # unrelaxed residual norms (interior, duplicated faces counted once)
         li = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
         own_u = li < nxl  # the shared right-edge face belongs to the neighbor
-        r_u = cu.src - apply_stencil_halo(u_star, cu, extend_u, dec)
+        r_u = cu.src - apply_u(u_star, cu)
         u_norm = pnorm2(jnp.where(mask_u & own_u, r_u, 0.0))
         lj = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
         own_v = lj < nyl
-        r_v = cv.src - apply_stencil_halo(v_star, cv, extend_v, dec)
+        r_v = cv.src - apply_v(v_star, cv)
         v_norm = pnorm2(jnp.where(mask_v & own_v, r_v, 0.0))
 
         # ---- pressure correction --------------------------------------------
@@ -325,12 +373,24 @@ def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0,
 
 
 def _solve_pressure_mgcg(b, pc, dec: Decomp, cfg, gi0, gj0, *,
-                         d_u_loc, d_v_loc, dx, dy, rho):
-    """CG preconditioned by the hybrid distributed multigrid."""
+                         d_u_loc=None, d_v_loc=None, dx=None, dy=None,
+                         rho=None):
+    """CG preconditioned by the fully distributed multigrid
+    (``parallel/dist_mg.py``): every level above ``cfg.gather_cutoff``
+    stays sharded on the device mesh; only the <= ~cutoff^2 tail is
+    gathered."""
+    from ..ops.stencil9 import from_poisson
+    from ..solvers.multigrid import MultigridConfig
+    from .dist_mg import apply9_halo, make_dist_mg_preconditioner
+
     n_cells = dec.nx * dec.ny
-    M, A, pdot = make_distributed_mg_preconditioner(
-        d_u_loc, d_v_loc, dec, cfg, pc, dx=dx, dy=dy, rho=rho, gi0=gi0, gj0=gj0
-    )
+    st = from_poisson(pc)
+    mg_cfg = MultigridConfig(pre_smoothing=2, post_smoothing=2,
+                             coarsest_sweeps=32, smoother="gs")
+    M = make_dist_mg_preconditioner(st, dec, mg_cfg,
+                                    gather_cutoff=cfg.gather_cutoff)
+    A = lambda x: apply9_halo(x, st, dec)
+    pdot = lambda a, c: jax.lax.psum(jax.lax.psum(jnp.sum(a * c), "x"), "y")
 
     def zero_mean(x):
         s = jax.lax.psum(jax.lax.psum(jnp.sum(x), "x"), "y")
@@ -380,121 +440,6 @@ def _pc_as_stencil(pc):
 
     return StencilCoeffs(a_e=pc.a_e, a_w=pc.a_w, a_n=pc.a_n, a_s=pc.a_s,
                          a_p=pc.diag, src=jnp.zeros_like(pc.diag))
-
-
-def _gather_blocks(x_loc):
-    """Local (a, b) block -> full global array, replicated on every device."""
-    gx = jax.lax.all_gather(x_loc, "x", axis=0, tiled=True)
-    return jax.lax.all_gather(gx, "y", axis=1, tiled=True)
-
-
-def _gather_blocked_u(d_u_loc, dec: Decomp):
-    """Blocked u-faces (duplicated shared edges) -> global (nx+1, ny)."""
-    blocked = _gather_blocks(d_u_loc)  # (mx*(nxl+1), ny)
-    nrow = dec.nxl + 1
-    parts = [blocked[b * nrow : (b + 1) * nrow] for b in range(dec.mx)]
-    return jnp.concatenate([p[:-1] for p in parts[:-1]] + [parts[-1]], 0)
-
-
-def _gather_blocked_v(d_v_loc, dec: Decomp):
-    blocked = _gather_blocks(d_v_loc)  # (nx, my*(nyl+1))
-    ncol = dec.nyl + 1
-    parts = [blocked[:, b * ncol : (b + 1) * ncol] for b in range(dec.my)]
-    return jnp.concatenate([p[:, :-1] for p in parts[:-1]] + [parts[-1]], 1)
-
-
-def make_distributed_mg_preconditioner(d_u_loc, d_v_loc, dec: Decomp, cfg,
-                                       pc, *, dx, dy, rho, gi0, gj0):
-    """Hybrid distributed multigrid preconditioner (SURVEY §7 "MG level
-    redistribution"): the fine level is smoothed *distributed* (Chebyshev
-    with halo matvecs), the residual is restricted block-locally
-    (cell-centered 2x2 averages) and gathered; all coarser levels run the
-    existing single-device Galerkin hierarchy *replicated* on every device;
-    the coarse correction is sliced back per block and prolonged locally.
-
-    Setup cost (one redundant global hierarchy build per pressure solve) is
-    amortized over the CG iterations; per-iteration fine-level work scales
-    with the device count.  Requires even block sizes (cell-centered
-    coarsening).
-    """
-    from ..ops.transfer_cc import prolong_cc, restrict_cc
-    from ..solvers.multigrid import MultigridConfig, _cycle, build_levels
-
-    nxl, nyl = dec.nxl, dec.nyl
-    st = _pc_as_stencil(pc)
-    inv_d = 1.0 / jnp.where(pc.diag < 1e-15, jnp.ones_like(pc.diag), pc.diag)
-    pdot = lambda a, c: jax.lax.psum(jax.lax.psum(jnp.sum(a * c), "x"), "y")
-
-    def A(x):
-        return apply_stencil_halo(x, st, extend_p, dec)
-
-    # distributed spectral bound for the Chebyshev smoother
-    GI, GJ = _iotas((nxl, nyl), gi0, gj0)
-    x0 = jnp.sin(GI * 0.7 + 1.0) * jnp.cos(GJ * 1.3 + 0.5)
-
-    def pw(_, carry):
-        x, lam = carry
-        y = inv_d * A(x)
-        lam = jnp.sqrt(pdot(y, y))
-        return (y / jnp.maximum(lam, 1e-30), lam)
-
-    _, lam_max = jax.lax.fori_loop(0, 20, pw, (x0, jnp.asarray(1.0, pc.diag.dtype)))
-    lmax = 1.05 * lam_max
-    lmin = lam_max / 30.0
-    dd, delta = (lmax + lmin) / 2.0, (lmax - lmin) / 2.0
-    sigma = dd / delta
-
-    def smooth(r0):
-        """e ~= A^-1 r0 from a zero guess, degree-`cheby_degree` Chebyshev."""
-        r = inv_d * r0
-        z = r / dd
-
-        def chev(_, carry):
-            e, z, rho_ = carry
-            e = e + z
-            r = inv_d * (r0 - A(e))
-            rho_new = 1.0 / (2.0 * sigma - rho_)
-            z = rho_new * rho_ * z + (2.0 * rho_new / delta) * r
-            return (e, z, rho_new)
-
-        e, z, _ = jax.lax.fori_loop(
-            0, cfg.cheby_degree - 1, chev,
-            (jnp.zeros_like(r0), z, jnp.asarray(1.0 / sigma, r0.dtype)),
-        )
-        return e + z
-
-    # replicated coarse hierarchy from the gathered global d-fields
-    d_u_g = _gather_blocked_u(d_u_loc, dec)
-    d_v_g = _gather_blocked_v(d_v_loc, dec)
-    mg_cfg = MultigridConfig(pre_smoothing=2, post_smoothing=2,
-                             coarsest_sweeps=32, smoother="gs")
-    levels_g = build_levels(d_u_g, d_v_g, mg_cfg, dx=dx, dy=dy, rho=rho,
-                            variant="consistent")
-    coarse_levels = levels_g[1:]  # level 1 (nx/2) downward, replicated
-
-    nxc_l, nyc_l = nxl // 2, nyl // 2
-
-    def coarse_correct(r_loc):
-        rc_loc = restrict_cc(r_loc)  # (nxl/2, nyl/2), block-local
-        rc_g = _gather_blocks(rc_loc)  # global coarse residual, replicated
-        ec_g = _cycle(jnp.zeros_like(rc_g), rc_g, coarse_levels, 0, mg_cfg)
-        # slice my coarse block + 1 ring (edge-replicated at physical walls)
-        ec_pad = jnp.pad(ec_g, 1, mode="edge")
-        start_i = jax.lax.axis_index("x") * nxc_l
-        start_j = jax.lax.axis_index("y") * nyc_l
-        ec_ext = jax.lax.dynamic_slice(ec_pad, (start_i, start_j),
-                                       (nxc_l + 2, nyc_l + 2))
-        ef_ext = prolong_cc(ec_ext)
-        return ef_ext[2:-2, 2:-2]
-
-    def M(r):
-        e = smooth(r)
-        rr = r - A(e)
-        e = e + coarse_correct(rr)
-        rr = r - A(e)
-        return e + smooth(rr)
-
-    return M, A, pdot
 
 
 def distributed_simple_solve(

@@ -40,7 +40,16 @@ from ..ops.powerlaw import (
     u_momentum_coefficients,
     v_momentum_coefficients,
 )
-from ..ops.stencil import StencilCoeffs, apply_stencil, interior_mask, neighbor_sum
+from ..ops.stencil import (
+    StencilCoeffs,
+    apply_stencil,
+    interior_mask,
+    neighbor_sum,
+    shift_e,
+    shift_n,
+    shift_s,
+    shift_w,
+)
 
 
 def _apply(x, c):
@@ -72,6 +81,9 @@ class JacobiMomentumConfig:
 
     n_sweeps: int = 1
     scheme: str = "power_law"  # 'power_law' | 'quick' | 'luds' | 'upwind'
+    # error-free residual evaluation (ops/compensated.py) — enables 1e-7
+    # outer targets on the f32 TPU path at ~zero cost (bandwidth-bound op)
+    compensated_residual: bool = False
     kind: str = "jacobi"
 
 
@@ -116,6 +128,7 @@ class GMRESMomentumConfig:
     max_iterations: int = 40  # total Arnoldi steps
     restart: int = 10
     scheme: str = "power_law"
+    compensated_residual: bool = False
     kind: str = "gmres"
 
 
@@ -129,6 +142,7 @@ class KrylovMomentumConfig:
     tolerance: float = 1e-7
     max_iterations: int = 50
     scheme: str = "power_law"
+    compensated_residual: bool = False
     kind: str = "bicgstab"
 
 
@@ -325,10 +339,38 @@ def _inner_solve(x0, c_rel, mask, cfg):
     raise ValueError(f"Unknown momentum solver kind: {cfg.kind}")
 
 
-def _unrelaxed_residual(x_star, c_un, *, is_u: bool):
+def _unrelaxed_residual(x_star, c_un, *, is_u: bool, compensated: bool = False):
     """r = src_un - A_un x, border-zeroed field + interior L2 norm
-    (reference ``AMG_solver._calculate_unrelaxed_residual``)."""
-    r = c_un.src - _apply(x_star, c_un)
+    (reference ``AMG_solver._calculate_unrelaxed_residual``).
+
+    ``compensated=True`` evaluates the residual as an error-free
+    transformation (``ops/compensated.py``): in f32 the plain evaluation
+    floors near 2e-7 relative (cancellation of O(1) stencil terms), the
+    compensated one resolves the exact residual to f32 roundoff — the
+    TPU path to the reference's 1e-7 convergence regime.
+    """
+    if compensated:
+        from ..ops.compensated import compensated_linear_combination, compensated_norm
+
+        if isinstance(c_un, MomentumCoeffs9):
+            from ..ops.highorder import _OFFSETS, shift
+
+            terms = [c_un.src] + [
+                (getattr(c_un, name), shift(x_star, di, dj))
+                for name, (di, dj) in _OFFSETS.items()
+            ] + [(-c_un.a_p, x_star)]
+        else:
+            terms = [
+                c_un.src,
+                (c_un.a_e, shift_e(x_star)),
+                (c_un.a_w, shift_w(x_star)),
+                (c_un.a_n, shift_n(x_star)),
+                (c_un.a_s, shift_s(x_star)),
+                (-c_un.a_p, x_star),
+            ]
+        r, _ = compensated_linear_combination(terms)
+    else:
+        r = c_un.src - _apply(x_star, c_un)
     ni, nj = r.shape
     if is_u:
         nx, ny = ni - 1, nj
@@ -340,7 +382,12 @@ def _unrelaxed_residual(x_star, c_un, *, is_u: bool):
         interior = r[1 : nx - 1, 1:ny]
         rf = r.at[:, 0].set(0.0).at[:, 1].set(0.0).at[:, ny - 1].set(0.0)
         rf = rf.at[:, ny].set(0.0).at[0, :].set(0.0).at[nx - 1, :].set(0.0)
-    norm = jnp.linalg.norm(interior)
+    if compensated:
+        from ..ops.compensated import compensated_norm
+
+        norm = compensated_norm(interior)
+    else:
+        norm = jnp.linalg.norm(interior)
     return rf, norm
 
 
@@ -354,7 +401,9 @@ def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
     u_star = _inner_solve(u, c_rel, mask, cfg)
     u_star, _ = apply_velocity_bcs(u_star, v, bc)
     d_u = d_coefficient(c_rel.a_p, dy, is_u=True)
-    r_field, r_norm = _unrelaxed_residual(u_star, c_un, is_u=True)
+    r_field, r_norm = _unrelaxed_residual(
+        u_star, c_un, is_u=True,
+        compensated=getattr(cfg, "compensated_residual", False))
     return u_star, d_u, r_field, r_norm
 
 
@@ -368,5 +417,7 @@ def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
     v_star = _inner_solve(v, c_rel, mask, cfg)
     _, v_star = apply_velocity_bcs(u, v_star, bc)
     d_v = d_coefficient(c_rel.a_p, dx, is_u=False)
-    r_field, r_norm = _unrelaxed_residual(v_star, c_un, is_u=False)
+    r_field, r_norm = _unrelaxed_residual(
+        v_star, c_un, is_u=False,
+        compensated=getattr(cfg, "compensated_residual", False))
     return v_star, d_v, r_field, r_norm

@@ -183,6 +183,28 @@ def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
     return levels
 
 
+def levels_from_stencil(st: Stencil9, nx: int, ny: int, cfg: MultigridConfig):
+    """Continue Galerkin coarsening from an arbitrary 9-point operator.
+
+    Used by the distributed multigrid (``parallel/dist_mg.py``): the fine
+    levels are coarsened block-locally on the device mesh; the stencil
+    gathered at the cutoff enters here as level 0 of the replicated tail.
+    ``five_point`` is False throughout (Galerkin levels are 9-point).
+    """
+    need_lam = cfg.smoother == "chebyshev"
+
+    def lam_of(s, shape):
+        return estimate_lambda_max(s, shape) if need_lam else None
+
+    levels = [(st, (nx, ny), False, lam_of(st, (nx, ny)))]
+    while min(nx, ny) > cfg.coarsest_grid_size:
+        rf, pf, (nxc, nyc) = _level_transfers(nx, ny, cfg)
+        st = galerkin_coarsen(st, rf, pf, nxc, nyc)
+        levels.append((st, (nxc, nyc), False, lam_of(st, (nxc, nyc))))
+        nx, ny = nxc, nyc
+    return levels
+
+
 def _cycle(p, b, levels, lvl, cfg):
     """One V/W cycle at level ``lvl`` (unrolled at trace time)."""
     st, (nx, ny), five, lam = levels[lvl]

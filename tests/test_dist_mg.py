@@ -1,0 +1,248 @@
+"""Fully distributed multigrid vs the single-device hierarchy (8-CPU mesh).
+
+The distributed hierarchy (``parallel/dist_mg.py``) is an arithmetically
+identical block replica of ``solvers/multigrid.py`` on even grids with
+cell-centered transfers: same Galerkin RAP per level, same 4-color GS
+sweeps, same V-cycle — only the array layout (blocks + halo exchange)
+differs.  Agreement is at ULP level, not bitwise: XLA chooses different
+FMA contractions when fusing the sharded vs the global program (the op
+sequence is identical; the rounding of fused products is not pinnable
+across separately compiled programs).  Direct ops agree to ~1 ULP; one
+V-cycle amplifies the coarse-stencil ULP noise to ~1e-10 relative through
+its ~60 sequential sweeps (an actual algorithmic mismatch shows up at
+O(1e2)).  These tests pin that equivalence and the CG iteration-count
+flatness across mesh shapes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import naviflow_tpu as nf
+from naviflow_tpu.ops.poisson import poisson_coefficients
+from naviflow_tpu.ops.stencil9 import apply9, from_poisson, galerkin_coarsen
+from naviflow_tpu.ops.transfer_cc import prolong_cc, restrict_cc
+from naviflow_tpu.ops.windowed import poisson_coefficients_window
+from naviflow_tpu.parallel.decompose import Decomp
+from naviflow_tpu.parallel.dist_mg import (
+    apply9_halo,
+    build_dist_levels,
+    dist_cycle,
+    galerkin_coarsen_dist,
+    gs4_sweep_halo,
+    n_dist_levels,
+    prolong_cc_halo,
+)
+from naviflow_tpu.parallel.sharding import make_device_mesh
+from naviflow_tpu.solvers.multigrid import (
+    MultigridConfig,
+    _cycle,
+    build_levels,
+    levels_from_stencil,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+NX = NY = 64
+
+
+def _fine_problem(nx=NX, ny=NY, seed=0):
+    """Random SPD-ish consistent pressure operator + rhs on an even grid."""
+    rng = np.random.default_rng(seed)
+    d_u = jnp.asarray(rng.uniform(0.5, 1.5, (nx + 1, ny)))
+    d_v = jnp.asarray(rng.uniform(0.5, 1.5, (nx, ny + 1)))
+    b = jnp.asarray(rng.normal(size=(nx, ny)))
+    b = b - jnp.mean(b)
+    dx = dy = 1.0 / nx
+    return d_u, d_v, b, dx, dy
+
+
+def _shardmap(dmesh, fn, n_in, out_spec=P("x", "y")):
+    return jax.jit(shard_map(
+        fn, mesh=dmesh, in_specs=(P("x", "y"),) * n_in, out_specs=out_spec,
+        check_vma=False,
+    ))
+
+
+def _dist_setup(dmesh, d_u, d_v, dx, dy, variant="consistent"):
+    """Block-local fine Stencil9 via the windowed assembly, under shard_map."""
+    nx, ny = d_v.shape[0], d_u.shape[1]
+    mx, my = dmesh.shape["x"], dmesh.shape["y"]
+    dec = Decomp(nx=nx, ny=ny, mx=mx, my=my)
+
+    def local(d_u_blk, d_v_blk):
+        gi0 = jax.lax.axis_index("x") * dec.nxl
+        gj0 = jax.lax.axis_index("y") * dec.nyl
+        pc = poisson_coefficients_window(
+            d_u_blk, d_v_blk, gi0=gi0, gj0=gj0, nx=nx, ny=ny,
+            dx=dx, dy=dy, rho=1.0, variant=variant,
+        )
+        return from_poisson(pc)
+
+    from naviflow_tpu.parallel.decompose import to_blocked_u, to_blocked_v
+
+    fn = _shardmap(dmesh, local, 2)
+    st = fn(to_blocked_u(d_u, mx), to_blocked_v(d_v, my))
+    return st, dec
+
+
+def test_dist_galerkin_stencils_match():
+    """Every distributed level's stencil == the single-device Galerkin
+    hierarchy (ULP tolerance)."""
+    d_u, d_v, b, dx, dy = _fine_problem()
+    dmesh = make_device_mesh(8)
+    st_blk, dec = _dist_setup(dmesh, d_u, d_v, dx, dy)
+    cfg = MultigridConfig(coarsest_grid_size=7)
+
+    # single-device ladder
+    levels_s = build_levels(d_u, d_v, cfg, dx=dx, dy=dy, rho=1.0,
+                            variant="consistent")
+
+    # distributed ladder (run the whole build inside one shard_map)
+    def build(st_flat):
+        st = jax.tree_util.tree_unflatten(treedef, st_flat)
+        dist, tail = build_dist_levels(st, dec, cfg, gather_cutoff=16)
+        flat = []
+        for s, _ in dist:
+            flat.extend(jax.tree_util.tree_leaves(s))
+        for s, _, _, _ in tail:
+            flat.extend(jax.tree_util.tree_leaves(s))
+        return tuple(flat)
+
+    st_leaves, treedef = jax.tree_util.tree_flatten(st_blk)
+    nd = n_dist_levels(dec, 16, cfg.coarsest_grid_size)
+    n_tail = len(levels_s) - nd
+    out_specs = tuple([P("x", "y")] * (9 * nd) + [P(None, None)] * (9 * n_tail))
+    fn = jax.jit(shard_map(
+        build, mesh=dmesh, in_specs=((P("x", "y"),) * 9,),
+        out_specs=out_specs, check_vma=False,
+    ))
+    leaves = fn(tuple(st_leaves))
+
+    # compare every level entrywise (ULP tolerance: FMA contraction in the
+    # fused RAP composite differs between the two programs)
+    k = 0
+    for lvl, (st_s, shape, _, _) in enumerate(levels_s):
+        for name in ("c", "e", "w", "n", "s", "ne", "nw", "se", "sw"):
+            got = np.asarray(leaves[k]); k += 1
+            want = np.asarray(getattr(st_s, name))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-13, atol=1e-15,
+                err_msg=f"level {lvl} entry {name}")
+
+
+def test_dist_v_cycle_matches_single_device():
+    """A full distributed V-cycle == the single-device V-cycle on the same
+    operator and rhs (same smoother path, same transfers; ULP tolerance
+    for cross-program FMA differences)."""
+    d_u, d_v, b, dx, dy = _fine_problem(seed=3)
+    dmesh = make_device_mesh(8)
+    st_blk, dec = _dist_setup(dmesh, d_u, d_v, dx, dy)
+    cfg = MultigridConfig(pre_smoothing=2, post_smoothing=2,
+                          coarsest_sweeps=16, smoother="gs")
+
+    levels_s = build_levels(d_u, d_v, cfg, dx=dx, dy=dy, rho=1.0,
+                            variant="consistent")
+    want = _cycle(jnp.zeros_like(b), b, levels_s, 0, cfg)
+
+    def run(st_flat, b_blk):
+        st = jax.tree_util.tree_unflatten(treedef, st_flat)
+        dist, tail = build_dist_levels(st, dec, cfg, gather_cutoff=16)
+        return dist_cycle(jnp.zeros_like(b_blk), b_blk, dist, tail, 0, cfg)
+
+    st_leaves, treedef = jax.tree_util.tree_flatten(st_blk)
+    fn = jax.jit(shard_map(
+        run, mesh=dmesh, in_specs=((P("x", "y"),) * 9, P("x", "y")),
+        out_specs=P("x", "y"), check_vma=False,
+    ))
+    got = fn(tuple(st_leaves), b)
+    # ULP-level FMA differences in the coarse RAP stencils (~1e-16 rel)
+    # amplify through the cycle's ~60 sequential sweeps on the
+    # ill-conditioned operator to ~1e-10 rel; an actual algorithmic
+    # mismatch (e.g. the wrong smoother) shows up at O(1e2).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_dist_block_transfer_ops_match_global():
+    """prolong/apply/galerkin block-local == global, sliced."""
+    d_u, d_v, b, dx, dy = _fine_problem(seed=5)
+    dmesh = make_device_mesh(8)
+    st_blk, dec = _dist_setup(dmesh, d_u, d_v, dx, dy)
+    pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=1.0,
+                              variant="consistent")
+    st_g = from_poisson(pc)
+
+    # apply9
+    def ap(st_flat, x):
+        st = jax.tree_util.tree_unflatten(treedef, st_flat)
+        return apply9_halo(x, st, dec)
+
+    st_leaves, treedef = jax.tree_util.tree_flatten(st_blk)
+    fn = jax.jit(shard_map(ap, mesh=dmesh,
+                           in_specs=((P("x", "y"),) * 9, P("x", "y")),
+                           out_specs=P("x", "y"), check_vma=False))
+    np.testing.assert_allclose(np.asarray(fn(tuple(st_leaves), b)),
+                               np.asarray(apply9(b, st_g)),
+                               rtol=1e-12, atol=1e-15)
+
+    # gs4 sweep
+    def sw(st_flat, p, rhs):
+        st = jax.tree_util.tree_unflatten(treedef, st_flat)
+        return gs4_sweep_halo(p, rhs, st, dec, 1.0)
+
+    from naviflow_tpu.ops.stencil9 import gs4_sweep
+
+    fn = jax.jit(shard_map(sw, mesh=dmesh,
+                           in_specs=((P("x", "y"),) * 9, P("x", "y"), P("x", "y")),
+                           out_specs=P("x", "y"), check_vma=False))
+    p0 = b * 0.37
+    np.testing.assert_allclose(np.asarray(fn(tuple(st_leaves), p0, b)),
+                               np.asarray(gs4_sweep(p0, b, st_g, 1.0)),
+                               rtol=1e-12, atol=1e-15)
+
+    # prolongation (coarse block one-ring halo, edge clamped)
+    nxc, nyc = NX // 2, NY // 2
+    dec_c = Decomp(nx=nxc, ny=nyc, mx=dec.mx, my=dec.my)
+    c = jnp.asarray(np.random.default_rng(7).normal(size=(nxc, nyc)))
+    fn = jax.jit(shard_map(lambda x: prolong_cc_halo(x, dec_c), mesh=dmesh,
+                           in_specs=(P("x", "y"),), out_specs=P("x", "y"),
+                           check_vma=False))
+    np.testing.assert_allclose(np.asarray(fn(c)), np.asarray(prolong_cc(c)),
+                               rtol=1e-12, atol=1e-15)
+
+
+def test_dist_mgcg_iterations_flat_across_meshes():
+    """Distributed SIMPLE with the fully distributed MGCG pressure solve:
+    converges, matches physics, and (being numerically identical to the
+    replicated algorithm) needs the same outer iterations on a 1x1-like
+    and a 2x4 mesh."""
+    from naviflow_tpu.parallel.dist_simple import (
+        DistributedConfig, distributed_simple_solve)
+
+    nx = ny = 32
+    mesh = nf.StructuredMesh(nx=nx, ny=ny)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+    bc = nf.lid_driven_cavity(1.0)
+    state = nf.initialize_state(mesh, bc, dtype=jnp.float64)
+
+    results = {}
+    for shape in [(1, 2), (2, 4)]:
+        dmesh = make_device_mesh(shape[0] * shape[1], shape=shape)
+        final, diag = distributed_simple_solve(
+            mesh, fluid, bc, state, dmesh,
+            DistributedConfig(max_iterations=2500, tolerance=1e-5,
+                              momentum_sweeps=2, pressure_solver="mgcg",
+                              pressure_tol=1e-8, pressure_max_iter=60,
+                              gather_cutoff=8),
+        )
+        assert diag["converged"], diag["final_residual"]
+        results[shape] = diag["iterations"]
+    assert results[(1, 2)] == results[(2, 4)]

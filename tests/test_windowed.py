@@ -129,3 +129,77 @@ def test_poisson_window_equals_global(variant):
             np.asarray(getattr(g, name))[gi0 : gi0 + nxl, gj0 : gj0 + nyl],
             rtol=1e-13, err_msg=name,
         )
+
+
+# ---------------------------------------------------------------------------
+# 9-point (QUICK/LUDS) windows — 2-ring halos
+# ---------------------------------------------------------------------------
+
+from naviflow_tpu.ops.highorder import (
+    u_momentum_coefficients9,
+    v_momentum_coefficients9,
+)
+from naviflow_tpu.ops.windowed import (
+    u_coefficients9_window,
+    v_coefficients9_window,
+)
+
+C9_NAMES = ("a_e", "a_w", "a_n", "a_s", "a_ee", "a_ww", "a_nn", "a_ss",
+            "a_p", "src")
+
+
+def _pad2(x):
+    return jnp.pad(x, 2)
+
+
+@pytest.mark.parametrize("scheme", ["quick", "luds"])
+@pytest.mark.parametrize("kind", ["u", "v"])
+def test_window9_full_equals_global(scheme, kind):
+    nx, ny = 16, 12
+    u, v, p = _fields(nx, ny)
+    kw = dict(dx=1.0 / (nx - 1), dy=1.0 / (ny - 1), rho=1.0, mu=0.01)
+    if kind == "u":
+        g = u_momentum_coefficients9(u, v, p, scheme=scheme, **kw)
+        w = u_coefficients9_window(_pad2(u), _pad2(v), _pad2(p),
+                                   gi0=0, gj0=0, nx=nx, ny=ny,
+                                   scheme=scheme, **kw)
+    else:
+        g = v_momentum_coefficients9(u, v, p, scheme=scheme, **kw)
+        w = v_coefficients9_window(_pad2(u), _pad2(v), _pad2(p),
+                                   gi0=0, gj0=0, nx=nx, ny=ny,
+                                   scheme=scheme, **kw)
+    for name in C9_NAMES:
+        np.testing.assert_allclose(np.asarray(getattr(w, name)),
+                                   np.asarray(getattr(g, name)),
+                                   rtol=1e-13, atol=1e-15, err_msg=name)
+
+
+@pytest.mark.parametrize("scheme", ["quick", "luds"])
+@pytest.mark.parametrize("gi0,gj0", [(8, 0), (0, 8), (8, 8), (0, 0)])
+def test_window9_subblock_equals_global_slice(scheme, gi0, gj0):
+    nx = ny = 16
+    nxl = nyl = 8
+    u, v, p = _fields(nx, ny)
+    kw = dict(dx=1.0 / (nx - 1), dy=1.0 / (ny - 1), rho=1.0, mu=0.01)
+    up, vp, pp = _pad2(u), _pad2(v), _pad2(p)
+
+    gu = u_momentum_coefficients9(u, v, p, scheme=scheme, **kw)
+    u_ext2 = up[gi0 : gi0 + nxl + 5, gj0 : gj0 + nyl + 4]
+    v_ext2 = vp[gi0 : gi0 + nxl + 4, gj0 : gj0 + nyl + 5]
+    p_ext2 = pp[gi0 : gi0 + nxl + 4, gj0 : gj0 + nyl + 4]
+    wu = u_coefficients9_window(u_ext2, v_ext2, p_ext2, gi0=gi0, gj0=gj0,
+                                nx=nx, ny=ny, scheme=scheme, **kw)
+    for name in C9_NAMES:
+        np.testing.assert_allclose(
+            np.asarray(getattr(wu, name)),
+            np.asarray(getattr(gu, name))[gi0 : gi0 + nxl + 1, gj0 : gj0 + nyl],
+            rtol=1e-13, atol=1e-15, err_msg=f"u {name}")
+
+    gv = v_momentum_coefficients9(u, v, p, scheme=scheme, **kw)
+    wv = v_coefficients9_window(u_ext2, v_ext2, p_ext2, gi0=gi0, gj0=gj0,
+                                nx=nx, ny=ny, scheme=scheme, **kw)
+    for name in C9_NAMES:
+        np.testing.assert_allclose(
+            np.asarray(getattr(wv, name)),
+            np.asarray(getattr(gv, name))[gi0 : gi0 + nxl, gj0 : gj0 + nyl + 1],
+            rtol=1e-13, atol=1e-15, err_msg=f"v {name}")
