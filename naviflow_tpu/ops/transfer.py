@@ -76,6 +76,52 @@ def prolong_linear(coarse, mx: int, my: int):
     return fine
 
 
+def _cubic_midpoints(c):
+    """Midpoint values between consecutive entries along axis 0: 4-point
+    cubic (Catmull-Rom at t=1/2) weights (-1, 9, 9, -1)/16 in the
+    interior, linear average in the first/last interval."""
+    lin = 0.5 * (c[:-1] + c[1:])
+    if c.shape[0] >= 4:
+        cub = (-c[:-3] + 9.0 * c[1:-2] + 9.0 * c[2:-1] - c[3:]) / 16.0
+        return lin.at[1:-1].set(cub)
+    return lin
+
+
+def _prolong_cubic_axis0(c, m: int):
+    out = jnp.zeros((m,) + c.shape[1:], c.dtype)
+    out = out.at[1::2].set(c)
+    out = out.at[2:-1:2].set(_cubic_midpoints(c))
+    return out
+
+
+def prolong_cubic(coarse, mx: int, my: int):
+    """Cubic prolongation to an (mx, my) fine grid — the counterpart of
+    the reference's cubic-spline interpolation option
+    (``multigrid_helpers.py:333-391``, scipy spline).  Deviation,
+    documented: a *local* tensor-product cubic (Catmull-Rom midpoint
+    stencil) rather than a global spline — same O(h^4) interior accuracy,
+    compiler-friendly strided slices instead of a host-side solve.
+    Boundary slabs are copied from the first interior line exactly as
+    ``prolong_linear`` does.
+
+    Only valid as a correction prolongation with
+    ``coarsening='rediscretize'`` (the reference's pairing): its 4-wide
+    column support breaks the 3-strided comb recovery of the Galerkin RAP
+    (``ops/stencil9.galerkin_coarsen``).
+    """
+    t = _prolong_cubic_axis0(coarse, mx)
+    fine = jnp.swapaxes(_prolong_cubic_axis0(jnp.swapaxes(t, 0, 1), my), 0, 1)
+    fine = fine.at[1:-1, 0].set(fine[1:-1, 1])
+    fine = fine.at[1:-1, -1].set(fine[1:-1, -2])
+    fine = fine.at[0, 1:-1].set(fine[1, 1:-1])
+    fine = fine.at[-1, 1:-1].set(fine[-2, 1:-1])
+    fine = fine.at[0, 0].set(fine[1, 1])
+    fine = fine.at[0, -1].set(fine[1, -2])
+    fine = fine.at[-1, 0].set(fine[-2, 1])
+    fine = fine.at[-1, -1].set(fine[-2, -2])
+    return fine
+
+
 def _harmonic_pair(d1, d2):
     """Harmonic mean where both positive, else arithmetic (reference :253-260)."""
     both = (d1 > 0) & (d2 > 0)

@@ -53,6 +53,7 @@ from ..ops.stencil9 import (
 )
 from ..ops.transfer import (
     coarse_size,
+    prolong_cubic,
     prolong_linear,
     restrict_d_coefficients,
     restrict_full_weighting,
@@ -80,6 +81,10 @@ class MultigridConfig:
     coarsest_grid_size: int = 7
     coarsest_sweeps: int = 64
     restriction: str = "full_weighting"  # 'full_weighting' | 'inject'
+    # correction prolongation on odd (vertex) grids: 'linear' | 'cubic'
+    # (reference multigrid_helpers.py:333-391; cubic requires
+    # coarsening='rediscretize' — see ops/transfer.prolong_cubic)
+    prolongation: str = "linear"
     coarsening: str = "galerkin"  # 'galerkin' | 'rediscretize'
     check_every: int = 1
     # Rebuild the *coarse* Galerkin operators only every K outer iterations
@@ -139,9 +144,18 @@ def _level_transfers(nx, ny, cfg):
     (restrict_fn, prolong_fn, (nxc, nyc)).
     """
     if nx % 2 == 1 and ny % 2 == 1:
+        if cfg.prolongation == "cubic":
+            if cfg.coarsening != "rediscretize":
+                raise ValueError(
+                    "prolongation='cubic' requires coarsening='rediscretize' "
+                    "(its 4-wide support breaks the Galerkin comb recovery)"
+                )
+            pf = functools.partial(prolong_cubic, mx=nx, my=ny)
+        else:
+            pf = functools.partial(prolong_linear, mx=nx, my=ny)
         return (
             lambda r: _restrict(r, cfg),
-            functools.partial(prolong_linear, mx=nx, my=ny),
+            pf,
             (coarse_size(nx), coarse_size(ny)),
         )
     if nx % 2 == 0 and ny % 2 == 0:

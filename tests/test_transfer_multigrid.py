@@ -186,3 +186,44 @@ def test_mgcg_converges_fast():
                                     d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=1.0)
     assert float(info.rel_residual) < 1e-9
     assert int(info.iterations) <= 30  # MG-preconditioned: few iterations
+
+
+def test_prolong_cubic_exact_on_cubics():
+    """The interior midpoint stencil reproduces cubic polynomials exactly;
+    coincident points are injected."""
+    from naviflow_tpu.ops.transfer import prolong_cubic
+
+    nc, mx = 15, 31
+    # coarse points sit at fine (2I+1); use the fine coordinate as x
+    I = np.arange(nc)
+    xi = 2 * I + 1.0
+    yj = 2 * np.arange(nc) + 1.0
+    f = lambda x, y: 0.3 * x**3 - x * x + 2.0 * x + 0.1 * y**3 + y
+    c = jnp.asarray(f(xi[:, None], yj[None, :]))
+    fine = np.asarray(prolong_cubic(c, mx, mx))
+    # interior fine midpoints: rows 2I+2 for I=1..nc-3, same for cols
+    xf = np.arange(mx, dtype=float)
+    want = f(xf[:, None], xf[None, :])
+    sl = slice(3, -4)  # interior region where the 4-pt stencil applies
+    np.testing.assert_allclose(fine[sl, sl], want[sl, sl], rtol=1e-12)
+
+
+def test_multigrid_cubic_prolongation_parity_path():
+    """cubic + rediscretize (the reference's pairing) converges; cubic +
+    galerkin is rejected."""
+    nx = 31
+    b, d_u, d_v, dx, dy = _cavity_like_system(nx)
+
+    cfg = MultigridConfig(tolerance=1e-8, max_cycles=120,
+                          prolongation="cubic", coarsening="rediscretize")
+    p, info = multigrid_solve(b, d_u, d_v, jnp.zeros_like(b), cfg,
+                              dx=dx, dy=dy, rho=1.0, variant="consistent")
+    # the rediscretized coarse ladder's V-cycle factor is the weak ~0.5-0.8
+    # of the reference construction (see solvers/multigrid.py docstring);
+    # this is the parity path, not the performance path
+    assert float(info.rel_residual) < 1e-6
+
+    bad = MultigridConfig(prolongation="cubic", coarsening="galerkin")
+    with pytest.raises(ValueError):
+        multigrid_solve(b, d_u, d_v, jnp.zeros_like(b), bad,
+                        dx=dx, dy=dy, rho=1.0, variant="consistent")
