@@ -1,0 +1,106 @@
+"""Per-iteration SIMPLE step timing: XLA vs fused-Pallas V-cycles, and
+f32 vs bf16 smoothing (real TPU; VERDICT r1 items 9/10).
+
+Usage:
+    python benchmarks/cycle_timing.py pallas   # 63/127/255 xla vs pallas
+    python benchmarks/cycle_timing.py bf16     # 1024/2048 f32 vs bf16
+
+Methodology: chained fused blocks of outer iterations (output feeds the
+next call's input, forcing serial device execution), timed through a host
+value fetch, fresh perturbed inputs per case (the tunnel memoizes
+identical executions).  Appends JSON lines to CYCLE_TIMING.jsonl.
+"""
+
+import json
+import os
+import struct
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from naviflow_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+import naviflow_tpu as nf
+from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
+from naviflow_tpu.solvers import KrylovMomentumConfig
+from naviflow_tpu.solvers.multigrid import MultigridConfig
+
+
+def _emit(row):
+    line = json.dumps(row)
+    print(line, flush=True)
+    with open(os.path.join(os.path.dirname(__file__),
+                           "CYCLE_TIMING.jsonl"), "a") as f:
+        f.write(line + "\n")
+
+
+def time_step_block(nx, pres, n_iters, re=100.0):
+    """Median of 3 chained runs of an n_iters fused block; returns ms/iter."""
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+    bc = nf.lid_driven_cavity(1.0)
+    cfg = SIMPLEConfig(max_iterations=n_iters, tolerance=0.0)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    solve = lambda s: simple_solve(mesh, fluid, bc, s, cfg,
+                                   momentum=mom, pressure=pres, loop="fused")
+
+    seed = struct.unpack("<I", os.urandom(4))[0]
+    noise = jax.random.uniform(jax.random.PRNGKey(seed), mesh.p_shape,
+                               jnp.float32, 0.0, 1e-7)
+    state = nf.initialize_state(mesh, bc)
+    state = state.replace(p=state.p + noise)
+    out, _ = solve(state)  # compile + warm
+    walls = []
+    for _ in range(3):
+        float(jnp.sum(out.p))
+        t0 = time.perf_counter()
+        out, diag = solve(out)  # chained: input is previous output
+        float(diag.final_residual)
+        walls.append(time.perf_counter() - t0)
+    wall = sorted(walls)[1]
+    return wall / n_iters * 1e3
+
+
+def run_pallas():
+    for nx in (63, 127, 255):
+        n_iters = 100 if nx <= 127 else 50
+        for backend in ("xla", "pallas"):
+            pres = MultigridConfig(tolerance=1e-2, max_cycles=6,
+                                   cycle_type="v", check_every=2,
+                                   coarsest_sweeps=32, coarse_rebuild_every=8,
+                                   backend=backend)
+            ms = time_step_block(nx, pres, n_iters)
+            _emit(dict(kind="mg-backend", nx=nx, backend=backend,
+                       ms_per_iteration=round(ms, 3)))
+
+
+def run_bf16():
+    for nx in (1024, 2048):
+        n_iters = 30 if nx <= 1024 else 12
+        for sd in ("float32", "bfloat16"):
+            pres = MultigridConfig(tolerance=1e-2, max_cycles=8,
+                                   cycle_type="v", check_every=2,
+                                   coarsest_sweeps=32, coarse_rebuild_every=8,
+                                   smoother_dtype=sd)
+            ms = time_step_block(nx, pres, n_iters, re=1000.0)
+            _emit(dict(kind="smoother-dtype", nx=nx, smoother_dtype=sd,
+                       ms_per_iteration=round(ms, 3)))
+
+
+if __name__ == "__main__":
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    which = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    if which == "pallas":
+        run_pallas()
+    elif which == "bf16":
+        run_bf16()
+    else:
+        raise SystemExit(f"unknown mode: {which}")

@@ -5,7 +5,11 @@ land in the persistent cache).  Chained calls (output feeds input) force
 serial device execution, so per-call numbers are honest.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -28,6 +28,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.state import FlowState
 
 
+def initialize_pod(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-process (multi-host pod) bring-up — ROADMAP #11.
+
+    On a real TPU pod each host runs one process; ``jax.distributed
+    .initialize`` wires them into one JAX runtime, after which
+    ``jax.devices()`` spans the whole pod and every entry point here
+    (``make_device_mesh``, ``distributed_simple_solve``) works unchanged —
+    the shard_map code is topology-agnostic.
+
+    Arguments default to the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``); on TPU pods with no explicit configuration JAX
+    can also auto-detect from the TPU metadata.  Returns ``True`` when a
+    multi-process runtime was initialized, ``False`` for the single-process
+    (single-host) case, where this is a no-op.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and (num_processes or 1) <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_device_mesh(
     n_devices: Optional[int] = None, shape: Optional[Tuple[int, int]] = None
 ) -> Mesh:

@@ -81,6 +81,12 @@ class MultigridConfig:
     coarsest_grid_size: int = 7
     coarsest_sweeps: int = 64
     restriction: str = "full_weighting"  # 'full_weighting' | 'inject'
+    # 'bfloat16': run the smoothing sweeps on the f32 ERROR equation in
+    # bf16 (residuals/transfers/corrections stay f32) — halves the
+    # smoother's HBM traffic, the dominant cost at >= 1024^2.  Exactly the
+    # same affine iteration when dtypes match, so convergence degrades
+    # only by bf16 rounding of the per-level corrections.
+    smoother_dtype: str = "float32"
     # correction prolongation on odd (vertex) grids: 'linear' | 'cubic'
     # (reference multigrid_helpers.py:333-391; cubic requires
     # coarsening='rediscretize' — see ops/transfer.prolong_cubic)
@@ -94,6 +100,12 @@ class MultigridConfig:
     # SIMPLE iteration.  1 = rebuild every iteration (no lagging).  Only the
     # algorithm layer acts on this (it owns the cross-iteration carry).
     coarse_rebuild_every: int = 1
+    # 'pallas': run each V-cycle as ONE fused VMEM-resident kernel
+    # (ops/pallas_mg.py) when the configuration supports it — the
+    # latency-bound small-grid optimization.  Silently falls back to the
+    # XLA path when unsupported (non-TPU backend, W/FMG cycles, non-GS
+    # smoothers, hierarchies over the VMEM budget).
+    backend: str = "xla"  # 'xla' | 'pallas'
     kind: str = "multigrid"
 
 
@@ -116,6 +128,22 @@ def _rb2_sweep(p, b, st: Stencil9, omega: float):
 
 
 def _smooth(p, b, st: Stencil9, cfg, n, five_point: bool, lam=None):
+    if (getattr(cfg, "smoother_dtype", "float32") in ("bfloat16", "bf16")
+            and p.dtype == jnp.float32 and n > 0):
+        # error form: n sweeps on A e = r from e=0 are the same affine map
+        # as n sweeps on A p = b from p — but e can live in bf16 without
+        # quantizing the accumulated solution
+        r = b - apply9(p, st)
+        st16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if hasattr(a, "astype") else a, st)
+        e = jnp.zeros(p.shape, jnp.bfloat16)
+        e = _smooth_core(e, r.astype(jnp.bfloat16), st16, cfg, n, five_point,
+                         lam)
+        return p + e.astype(p.dtype)
+    return _smooth_core(p, b, st, cfg, n, five_point, lam)
+
+
+def _smooth_core(p, b, st: Stencil9, cfg, n, five_point: bool, lam=None):
     if cfg.smoother == "chebyshev":
         # one Chebyshev application of degree ~n*2 replaces n sweeps
         return chebyshev_smooth(p, b, st, lam, degree=max(cfg.cheby_degree, n),
@@ -237,6 +265,19 @@ def _cycle(p, b, levels, lvl, cfg):
     return _smooth(p, b, st, cfg, cfg.post_smoothing, five, lam)
 
 
+def _cycle0(p, b, levels, cfg):
+    """One cycle at the finest level — as the single fused Pallas kernel
+    (``ops/pallas_mg.py``) when ``cfg.backend == 'pallas'`` and the
+    configuration supports it on this backend, else the XLA-composed
+    :func:`_cycle`."""
+    if cfg.backend == "pallas" and jax.default_backend() == "tpu":
+        from ..ops.pallas_mg import fused_vcycle, supports_fused
+
+        if supports_fused(levels, cfg):
+            return fused_vcycle(p, b, levels, cfg)
+    return _cycle(p, b, levels, 0, cfg)
+
+
 def _fmg(b, levels, cfg):
     """Full-multigrid bootstrap (reference ``_fmg_cycle``, :562-688)."""
     rhs = [b]
@@ -292,7 +333,7 @@ def multigrid_solve(
     def body(carry):
         p, k, _ = carry
         p = jax.lax.fori_loop(
-            0, cfg.check_every, lambda _, q: _cycle(q, b, levels, 0, cfg), p
+            0, cfg.check_every, lambda _, q: _cycle0(q, b, levels, cfg), p
         )
         rel = jnp.linalg.norm(b - apply9(p, st_fine)) / safe_bnorm
         return (p, k + cfg.check_every, rel)
@@ -318,7 +359,7 @@ def make_preconditioner(levels, cfg: MultigridConfig, n_cycles: int = 1):
     def apply_M(r):
         e = jnp.zeros_like(r)
         for _ in range(n_cycles):
-            e = _cycle(e, r, levels, 0, cfg)
+            e = _cycle0(e, r, levels, cfg)
         return e
 
     return apply_M

@@ -206,3 +206,13 @@ def test_distributed_quick_solve_matches_single_device():
     dv = float(jnp.max(jnp.abs(final_d.v - final_s.v)))
     assert du < 3e-4 and dv < 3e-4, (du, dv)
     assert infinity_norm_error(final_d.u, final_d.v, mesh, 100) < 0.15
+
+
+def test_initialize_pod_single_process_noop():
+    """ROADMAP #11: single-process bring-up is a no-op returning False;
+    the mesh entry points work unchanged after it."""
+    from naviflow_tpu.parallel.sharding import initialize_pod, make_device_mesh
+
+    assert initialize_pod() is False
+    mesh = make_device_mesh(8)
+    assert mesh.shape["x"] * mesh.shape["y"] == 8

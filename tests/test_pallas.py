@@ -48,3 +48,55 @@ def test_rbgs_kernel_matches_jnp(n_sweeps):
     # roll-based vs pad-based neighbor sums differ in f32 accumulation order
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=5e-4, atol=2e-5)
+
+
+def _mg_system(nx=31):
+    d_u = jnp.asarray((RNG.random((nx + 1, nx)) + 0.5).astype(np.float32))
+    d_v = jnp.asarray((RNG.random((nx, nx + 1)) + 0.5).astype(np.float32))
+    b = jnp.asarray(RNG.normal(size=(nx, nx)).astype(np.float32))
+    b = b - jnp.mean(b)
+    dx = dy = 1.0 / (nx - 1)
+    return d_u, d_v, b, dx, dy
+
+
+def test_fused_vcycle_matches_xla_cycle():
+    """ops/pallas_mg.fused_vcycle == multigrid._cycle on the default
+    config (same smoothers / transfers, summation-order-level agreement)."""
+    from naviflow_tpu.ops.pallas_mg import fused_vcycle, supports_fused
+    from naviflow_tpu.ops.stencil9 import apply9
+    from naviflow_tpu.solvers.multigrid import (MultigridConfig, _cycle,
+                                                build_levels)
+
+    nx = 31
+    d_u, d_v, b, dx, dy = _mg_system(nx)
+    cfg = MultigridConfig(coarsest_sweeps=16)
+    levels = build_levels(d_u, d_v, cfg, dx=dx, dy=dy, rho=1.0,
+                          variant="consistent")
+    assert supports_fused(levels, cfg)
+    p = jnp.zeros((nx, nx), jnp.float32)
+    for _ in range(2):
+        ref = _cycle(p, b, levels, 0, cfg)
+        fus = fused_vcycle(p, b, levels, cfg, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+        assert float(jnp.max(jnp.abs(ref - fus))) / scale < 1e-5
+        p = ref
+    # and the fused cycle actually reduces the residual
+    st = levels[0][0]
+    r0 = float(jnp.linalg.norm(b))
+    r2 = float(jnp.linalg.norm(b - apply9(p, st)))
+    assert r2 < 0.1 * r0
+
+
+def test_fused_vcycle_gating():
+    """Unsupported configurations are rejected by supports_fused."""
+    from naviflow_tpu.ops.pallas_mg import supports_fused
+    from naviflow_tpu.solvers.multigrid import MultigridConfig, build_levels
+
+    d_u, d_v, b, dx, dy = _mg_system(31)
+    cfg = MultigridConfig()
+    levels = build_levels(d_u, d_v, cfg, dx=dx, dy=dy, rho=1.0,
+                          variant="consistent")
+    assert not supports_fused(levels, MultigridConfig(cycle_type="w"))
+    assert not supports_fused(levels, MultigridConfig(smoother="jacobi"))
+    assert not supports_fused(levels, MultigridConfig(smoother_dtype="bfloat16"))
+    assert not supports_fused(levels, MultigridConfig(restriction="inject"))

@@ -227,3 +227,22 @@ def test_multigrid_cubic_prolongation_parity_path():
     with pytest.raises(ValueError):
         multigrid_solve(b, d_u, d_v, jnp.zeros_like(b), bad,
                         dx=dx, dy=dy, rho=1.0, variant="consistent")
+
+
+def test_multigrid_bf16_smoothing_matches_f32_cycles():
+    """bf16 error-equation smoothing: same cycle count to 1e-4 as f32
+    (the sweeps are the same affine map up to bf16 rounding of the
+    per-level corrections)."""
+    nx = 63
+    b, d_u, d_v, dx, dy = _cavity_like_system(nx)
+    f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    cycles = {}
+    for sd in ("float32", "bfloat16"):
+        cfg = MultigridConfig(tolerance=1e-4, max_cycles=60,
+                              smoother_dtype=sd, check_every=1)
+        _, info = multigrid_solve(f32(b), f32(d_u), f32(d_v),
+                                  jnp.zeros((nx, nx), jnp.float32), cfg,
+                                  dx=dx, dy=dy, rho=1.0)
+        assert float(info.rel_residual) < 1e-4
+        cycles[sd] = int(info.iterations)
+    assert cycles["bfloat16"] <= cycles["float32"] + 2
