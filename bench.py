@@ -94,7 +94,10 @@ def main():
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=20)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=6, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
-                           coarse_rebuild_every=8)
+                           coarse_rebuild_every=8,
+                           backend=os.environ.get("BENCH_MG_BACKEND", "xla"),
+                           smoother_dtype=os.environ.get(
+                               "BENCH_SMOOTHER_DTYPE", "float32"))
 
     # ---- headline: reference-parity tolerance (1e-3) ----------------------
     cfg = SIMPLEConfig(max_iterations=maxit, tolerance=tol)

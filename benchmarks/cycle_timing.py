@@ -93,6 +93,42 @@ def run_bf16():
                        ms_per_iteration=round(ms, 3)))
 
 
+def run_momlite():
+    """ROADMAP 'momentum-lite': after a sequencing warm start the momentum
+    system barely changes per iteration — compare the default
+    BiCGSTAB(25, 1e-6) against a light (8, 1e-4) fine-level solve,
+    end-to-end on a sequenced 1024^2 cavity."""
+    from naviflow_tpu.algorithms import grid_sequence_solve
+    from naviflow_tpu.postprocessing.validation import infinity_norm_error
+
+    nx = 1024
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=1000)
+    bc = nf.lid_driven_cavity(1.0)
+    cfg = SIMPLEConfig(max_iterations=20000, tolerance=1e-5)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
+                           check_every=2, coarsest_sweeps=32,
+                           coarse_rebuild_every=8)
+    heavy = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    lite = KrylovMomentumConfig(tolerance=1e-4, max_iterations=8)
+
+    for name, per_level in (("heavy", None),
+                            ("lite-fine", lambda n: lite if n >= nx else heavy)):
+        seed = struct.unpack("<I", os.urandom(4))[0]
+        t0 = time.perf_counter()
+        final, diag, summ = grid_sequence_solve(
+            mesh, fluid, bc, simple_solve, cfg, momentum=heavy,
+            pressure=pres, loop="chunked:300", perturb_seed=seed,
+            per_level_momentum=per_level)
+        wall = time.perf_counter() - t0
+        err = infinity_norm_error(final.u, final.v, mesh, 1000)
+        _emit(dict(kind="momentum-lite", variant=name,
+                   wall_seconds=round(wall, 1),
+                   fine_iterations=summ[-1]["iterations"],
+                   converged=all(s["converged"] for s in summ),
+                   ghia_infinity_error=round(float(err), 5)))
+
+
 if __name__ == "__main__":
     import warnings
 
@@ -102,5 +138,7 @@ if __name__ == "__main__":
         run_pallas()
     elif which == "bf16":
         run_bf16()
+    elif which == "momlite":
+        run_momlite()
     else:
         raise SystemExit(f"unknown mode: {which}")

@@ -172,6 +172,7 @@ def grid_sequence_solve(
     max_levels: int = 6,
     dtype=jnp.float32,
     perturb_seed: int = None,
+    per_level_momentum=None,
 ) -> Tuple[FlowState, object, list]:
     """Solve on a coarse-to-fine mesh ladder, warm-starting each level.
 
@@ -179,8 +180,12 @@ def grid_sequence_solve(
     ``algorithms.simple.simple_solve``); ``cfg`` applies at every level
     (coarse levels are cheap).  ``perturb_seed`` adds O(1e-7) noise to the
     coarsest initial pressure (benchmark hygiene on runtimes that memoize
-    identical executions).  Returns the fine state, the fine-level
-    diagnostics, and a per-level summary list.
+    identical executions).  ``per_level_momentum`` optionally maps
+    nx -> momentum config — after a warm start the fine-level momentum
+    system barely changes, so a lighter inner solve (fewer Krylov
+    iterations / looser tolerance) can be used there (ROADMAP "momentum-
+    lite").  Returns the fine state, the fine-level diagnostics, and a
+    per-level summary list.
     """
     ladder = build_ladder(mesh.nx, coarsest=coarsest, max_levels=max_levels)
     summaries = []
@@ -197,8 +202,9 @@ def grid_sequence_solve(
                 state = state.replace(p=state.p + noise)
         else:
             state = prolong_state(state, level_mesh, bc)
+        mom = per_level_momentum(nx) if per_level_momentum else momentum
         state, diag = solve_fn(level_mesh, fluid, bc, state, cfg,
-                               momentum=momentum, pressure=pressure, loop=loop)
+                               momentum=mom, pressure=pressure, loop=loop)
         summaries.append(
             dict(nx=nx, iterations=int(diag.iterations),
                  converged=bool(diag.converged),

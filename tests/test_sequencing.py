@@ -51,3 +51,24 @@ def test_sequenced_solve_cuts_fine_iterations():
                                   momentum=mom, pressure=pres, loop="fused")
     assert summ[-1]["iterations"] < int(diag_direct.iterations)
     assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+
+
+def test_sequenced_per_level_momentum():
+    """per_level_momentum swaps the fine-level inner solver (momentum-lite)
+    without breaking convergence."""
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+    bc = nf.lid_driven_cavity(1.0)
+    heavy = KrylovMomentumConfig(tolerance=1e-8, max_iterations=60)
+    lite = KrylovMomentumConfig(tolerance=1e-5, max_iterations=12)
+    pres = RBGSPressureConfig(tolerance=1e-6, max_iterations=30000, omega=1.5)
+    cfg = SIMPLEConfig(max_iterations=3000, tolerance=1e-5)
+    mesh = nf.StructuredMesh(nx=31, ny=31)
+
+    final, diag, summ = grid_sequence_solve(
+        mesh, fluid, bc, simple_solve, cfg,
+        momentum=heavy, pressure=pres, loop="fused", coarsest=15,
+        dtype=jnp.float64,
+        per_level_momentum=lambda n: lite if n >= 31 else heavy,
+    )
+    assert summ[-1]["converged"]
+    assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
