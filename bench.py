@@ -95,7 +95,7 @@ def main():
     pres = MultigridConfig(tolerance=1e-2, max_cycles=6, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8,
-                           backend=os.environ.get("BENCH_MG_BACKEND", "xla"),
+                           backend=os.environ.get("BENCH_MG_BACKEND", "auto"),
                            smoother_dtype=os.environ.get(
                                "BENCH_SMOOTHER_DTYPE", "float32"))
 

@@ -68,8 +68,8 @@ def time_step_block(nx, pres, n_iters, re=100.0):
 
 
 def run_pallas():
-    for nx in (63, 127, 255):
-        n_iters = 100 if nx <= 127 else 50
+    for nx in (63, 127, 255, 511):
+        n_iters = 100 if nx <= 127 else (50 if nx <= 255 else 25)
         for backend in ("xla", "pallas"):
             pres = MultigridConfig(tolerance=1e-2, max_cycles=6,
                                    cycle_type="v", check_every=2,

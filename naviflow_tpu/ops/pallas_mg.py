@@ -52,10 +52,12 @@ try:  # pallas is TPU-only at lowering time; import is safe everywhere
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-# 9 stencil arrays + ~3 live field temporaries per level, double-buffered
-# against the 16 MB scoped-VMEM limit; 255^2 hierarchies measure ~4 MB,
-# 511^2 ~17 MB (over).
-VMEM_BUDGET_BYTES = 10 * 2**20
+# Per-level estimate: stencil refs (5 on the five-point finest level, 9 on
+# Galerkin levels) + ~3 live field temporaries, against the 16 MB
+# scoped-VMEM limit.  255^2 hierarchies estimate ~3.5 MB (measured fine);
+# a 511^2 hierarchy estimates ~12 MB here but Mosaic's scoped allocation
+# measured 20.8 MB (stack OOM), so the budget keeps 511^2 on the XLA path.
+VMEM_BUDGET_BYTES = 8 * 2**20
 
 
 def _padded_bytes(nx, ny):
@@ -97,12 +99,14 @@ def supports_fused(levels, cfg) -> bool:
             or getattr(cfg, "smoother_dtype", "float32") != "float32"):
         return False
     total = 0
-    for st, (nx, ny), _, _ in levels:
+    for st, (nx, ny), five, _ in levels:
         if nx != ny or nx % 2 == 0:
             return False
         if st.c.dtype != jnp.float32:
             return False
-        total += 12 * _padded_bytes(nx, ny)
+        # five-point levels ship 5 stencil refs, 9-point levels 9;
+        # ~3 live field temporaries either way
+        total += ((5 if five else 9) + 3) * _padded_bytes(nx, ny)
     return total <= VMEM_BUDGET_BYTES
 
 
@@ -115,18 +119,26 @@ def _mk_kernel(meta, cfg):
         return pltpu.roll(x, shift % x.shape[axis], axis)
 
     def apply9v(x, S):
-        c, e, w, n, s, ne, nw, se, sw = S
-        return (
+        # five-point levels carry 5 stencil refs (corner links are
+        # identically zero), Galerkin levels all 9
+        c, e, w, n, s = S[:5]
+        out = (
             c * x
             + e * _roll(x, -1, 0)
             + w * _roll(x, 1, 0)
             + n * _roll(x, -1, 1)
             + s * _roll(x, 1, 1)
-            + ne * _roll(_roll(x, -1, 0), -1, 1)
-            + nw * _roll(_roll(x, 1, 0), -1, 1)
-            + se * _roll(_roll(x, -1, 0), 1, 1)
-            + sw * _roll(_roll(x, 1, 0), 1, 1)
         )
+        if len(S) == 9:
+            ne, nw, se, sw = S[5:]
+            out = (
+                out
+                + ne * _roll(_roll(x, -1, 0), -1, 1)
+                + nw * _roll(_roll(x, 1, 0), -1, 1)
+                + se * _roll(_roll(x, -1, 0), 1, 1)
+                + sw * _roll(_roll(x, 1, 0), 1, 1)
+            )
+        return out
 
     def _inv_diag(S):
         c = S[0]
@@ -178,12 +190,16 @@ def _mk_kernel(meta, cfg):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     def kernel(*refs):
-        # layout: p, b, 9*L stencils, 4*(L-1) transfer factors, out
+        # layout: p, b, per-level stencils (5 or 9 refs), 4*(L-1)
+        # transfer factors, out
         p_ref, b_ref = refs[0], refs[1]
-        stencils = [tuple(r[:] for r in refs[2 + 9 * l: 2 + 9 * (l + 1)])
-                    for l in range(L)]
-        tbase = 2 + 9 * L
-        trans = [tuple(refs[tbase + 4 * l + k][:] for k in range(4))
+        stencils = []
+        off = 2
+        for _, five in meta:
+            k = 5 if five else 9
+            stencils.append(tuple(r[:] for r in refs[off: off + k]))
+            off += k
+        trans = [tuple(refs[off + 4 * l + k][:] for k in range(4))
                  for l in range(L - 1)]
         out_ref = refs[-1]
 
@@ -215,8 +231,10 @@ def fused_vcycle(p, b, levels, cfg, *, interpret: bool = False):
     """
     meta = tuple(((nx, ny), five) for _, (nx, ny), five, _ in levels)
     inputs = [p, b]
-    for st, _, _, _ in levels:
-        inputs += [st.c, st.e, st.w, st.n, st.s, st.ne, st.nw, st.se, st.sw]
+    for st, _, five, _ in levels:
+        inputs += [st.c, st.e, st.w, st.n, st.s]
+        if not five:
+            inputs += [st.ne, st.nw, st.se, st.sw]
     for (_, (nf, _), _, _), (_, (nc, _), _, _) in zip(levels, levels[1:]):
         inputs += [jnp.asarray(m) for m in _transfer_matrices(nf, nc)]
 

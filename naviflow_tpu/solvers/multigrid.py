@@ -100,12 +100,13 @@ class MultigridConfig:
     # SIMPLE iteration.  1 = rebuild every iteration (no lagging).  Only the
     # algorithm layer acts on this (it owns the cross-iteration carry).
     coarse_rebuild_every: int = 1
-    # 'pallas': run each V-cycle as ONE fused VMEM-resident kernel
-    # (ops/pallas_mg.py) when the configuration supports it — the
-    # latency-bound small-grid optimization.  Silently falls back to the
-    # XLA path when unsupported (non-TPU backend, W/FMG cycles, non-GS
-    # smoothers, hierarchies over the VMEM budget).
-    backend: str = "xla"  # 'xla' | 'pallas'
+    # 'auto'/'pallas': run each V-cycle as ONE fused VMEM-resident kernel
+    # (ops/pallas_mg.py) on TPU when the configuration supports it —
+    # measured 2.4-2.9x faster SIMPLE iterations at 63^2-255^2
+    # (benchmarks/CYCLE_TIMING.jsonl).  Falls back to the XLA path when
+    # unsupported (non-TPU backend, W/FMG cycles, non-GS smoothers,
+    # hierarchies over the VMEM budget).  'xla' forces the fallback.
+    backend: str = "auto"  # 'auto' | 'pallas' | 'xla'
     kind: str = "multigrid"
 
 
@@ -270,7 +271,7 @@ def _cycle0(p, b, levels, cfg):
     (``ops/pallas_mg.py``) when ``cfg.backend == 'pallas'`` and the
     configuration supports it on this backend, else the XLA-composed
     :func:`_cycle`."""
-    if cfg.backend == "pallas" and jax.default_backend() == "tpu":
+    if cfg.backend in ("auto", "pallas") and jax.default_backend() == "tpu":
         from ..ops.pallas_mg import fused_vcycle, supports_fused
 
         if supports_fused(levels, cfg):
