@@ -143,6 +143,10 @@ class KrylovMomentumConfig:
     max_iterations: int = 50
     scheme: str = "power_law"
     compensated_residual: bool = False
+    # 'auto'/'pallas': on TPU, run the whole masked BiCGSTAB as ONE fused
+    # VMEM-resident kernel (ops/pallas_krylov.py) when the field fits;
+    # 'xla' forces the composed while_loop
+    backend: str = "auto"
     kind: str = "bicgstab"
 
 
@@ -329,6 +333,16 @@ def _inner_solve(x0, c_rel, mask, cfg):
     if cfg.kind == "rbgs":
         return _rbgs_sweeps(x0, c_rel, mask, cfg.n_sweeps, cfg.omega)
     if cfg.kind == "bicgstab":
+        if (getattr(cfg, "backend", "auto") in ("auto", "pallas")
+                and not isinstance(c_rel, MomentumCoeffs9)
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_krylov import (bicgstab_momentum_pallas,
+                                            supports_fused_bicgstab)
+
+            if supports_fused_bicgstab(x0.shape, x0.dtype):
+                return bicgstab_momentum_pallas(
+                    x0, c_rel, tol=cfg.tolerance,
+                    maxiter=cfg.max_iterations)
         return _bicgstab_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations)
     if cfg.kind == "gmres":
         return _gmres_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations,

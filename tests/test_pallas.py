@@ -100,3 +100,30 @@ def test_fused_vcycle_gating():
     assert not supports_fused(levels, MultigridConfig(smoother="jacobi"))
     assert not supports_fused(levels, MultigridConfig(smoother_dtype="bfloat16"))
     assert not supports_fused(levels, MultigridConfig(restriction="inject"))
+
+
+def test_fused_bicgstab_matches_xla_solver():
+    """ops/pallas_krylov.bicgstab_momentum_pallas == momentum._bicgstab_masked
+    (same algebra, breakdown guards, freeze-on-converged early stop)."""
+    from naviflow_tpu.ops.pallas_krylov import bicgstab_momentum_pallas
+    from naviflow_tpu.ops.powerlaw import (relax_coefficients,
+                                           u_momentum_coefficients)
+    from naviflow_tpu.solvers.momentum import (_bicgstab_masked,
+                                               _u_interior_mask)
+
+    nx = 31
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((nx + 1, nx)) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((nx, nx + 1)) * 0.1, jnp.float32)
+    p_ = jnp.asarray(rng.standard_normal((nx, nx)) * 0.1, jnp.float32)
+    c = u_momentum_coefficients(u, v, p_, dx=1 / (nx - 1), dy=1 / (nx - 1),
+                                rho=1.0, mu=0.01)
+    cr = relax_coefficients(c, u, 0.7)
+    mask = _u_interior_mask(u.shape)
+    for maxiter in (3, 25):  # mid-iteration state and converged fixed point
+        ref = _bicgstab_masked(u, cr, mask, 1e-8, maxiter)
+        fus = bicgstab_momentum_pallas(u, cr, tol=1e-8, maxiter=maxiter,
+                                       interpret=True)
+        d = float(jnp.max(jnp.abs(ref - fus)))
+        s = float(jnp.max(jnp.abs(ref))) + 1e-30
+        assert d / s < 1e-4, (maxiter, d / s)
