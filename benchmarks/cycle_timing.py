@@ -129,6 +129,51 @@ def run_momlite():
                    ghia_infinity_error=round(float(err), 5)))
 
 
+def run_breakdown(nx=63):
+    """Component differencing of one SIMPLE iteration at ``nx^2`` with the
+    fused kernels active: vary one knob at a time against the bench
+    config."""
+    from naviflow_tpu.solvers import JacobiMomentumConfig
+
+    base = dict(tolerance=1e-2, max_cycles=6, cycle_type="v", check_every=2,
+                coarsest_sweeps=32, coarse_rebuild_every=8)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=20)
+    cases = [
+        ("full", mom, MultigridConfig(**base)),
+        ("mg-2cycles", mom, MultigridConfig(**{**base, "max_cycles": 2})),
+        ("mg-0cycles", mom, MultigridConfig(**{**base, "max_cycles": 0})),
+        ("mom-jacobi1", JacobiMomentumConfig(n_sweeps=1),
+         MultigridConfig(**base)),
+        ("rap-every-iter", mom,
+         MultigridConfig(**{**base, "coarse_rebuild_every": 1})),
+        ("coarsest-8", mom, MultigridConfig(**{**base, "coarsest_sweeps": 8})),
+    ]
+    for name, m, pres in cases:
+        cfg = SIMPLEConfig(max_iterations=100, tolerance=0.0)
+        mesh = nf.StructuredMesh(nx=nx, ny=nx)
+        fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+        bc = nf.lid_driven_cavity(1.0)
+        solve = lambda s: simple_solve(mesh, fluid, bc, s, cfg,
+                                       momentum=m, pressure=pres,
+                                       loop="fused")
+        seed = struct.unpack("<I", os.urandom(4))[0]
+        noise = jax.random.uniform(jax.random.PRNGKey(seed), mesh.p_shape,
+                                   jnp.float32, 0.0, 1e-7)
+        state = nf.initialize_state(mesh, bc)
+        state = state.replace(p=state.p + noise)
+        out, _ = solve(state)
+        walls = []
+        for _ in range(3):
+            float(jnp.sum(out.p))
+            t0 = time.perf_counter()
+            out, diag = solve(out)
+            float(diag.final_residual)
+            walls.append(time.perf_counter() - t0)
+        ms = sorted(walls)[1] / 100 * 1e3
+        _emit(dict(kind="breakdown", nx=nx, case=name,
+                   ms_per_iteration=round(ms, 3)))
+
+
 if __name__ == "__main__":
     import warnings
 
@@ -140,5 +185,7 @@ if __name__ == "__main__":
         run_bf16()
     elif which == "momlite":
         run_momlite()
+    elif which == "breakdown":
+        run_breakdown()
     else:
         raise SystemExit(f"unknown mode: {which}")

@@ -215,5 +215,7 @@ if __name__ == "__main__":
         run_highre_511(8500.0)
     elif which == "config4-257":
         run_config4_257()
+    elif which == "re5000-4096":
+        run_re5000(4096)
     else:
         raise SystemExit(f"unknown run: {which}")

@@ -26,6 +26,8 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
+from ..ops.stencil import where_set
+
 
 class BoundaryType(Enum):
     WALL = "wall"
@@ -121,10 +123,10 @@ def apply_velocity_bcs(u, v, bc: BoundaryConditions):
 
     # Phase 1 — zero every boundary slab (wall default), matching the
     # reference's unconditional zeroing (:180-203).
-    u = u.at[:, 0].set(zero).at[:, ny - 1].set(zero)
-    u = u.at[0, :].set(zero).at[nx, :].set(zero)
-    v = v.at[:, 0].set(zero).at[:, ny].set(zero)
-    v = v.at[0, :].set(zero).at[nx - 1, :].set(zero)
+    u = where_set(where_set(u, zero, cols=0), zero, cols=ny - 1)
+    u = where_set(where_set(u, zero, rows=0), zero, rows=nx)
+    v = where_set(where_set(v, zero, cols=0), zero, cols=ny)
+    v = where_set(where_set(v, zero, rows=0), zero, rows=nx - 1)
 
     # Phase 2 — sides registered with a VELOCITY condition overwrite their
     # full slab *including corners* (:206-232): e.g. the cavity lid value owns
@@ -136,17 +138,17 @@ def apply_velocity_bcs(u, v, bc: BoundaryConditions):
         su = jnp.asarray(s.u, dtype)
         sv = jnp.asarray(s.v, dtype)
         if name == "top":
-            u = u.at[:, ny - 1].set(su)
-            v = v.at[:, ny].set(sv)
+            u = where_set(u, su, cols=ny - 1)
+            v = where_set(v, sv, cols=ny)
         elif name == "bottom":
-            u = u.at[:, 0].set(su)
-            v = v.at[:, 0].set(sv)
+            u = where_set(u, su, cols=0)
+            v = where_set(v, sv, cols=0)
         elif name == "left":
-            u = u.at[0, :].set(su)
-            v = v.at[0, :].set(sv)
+            u = where_set(u, su, rows=0)
+            v = where_set(v, sv, rows=0)
         elif name == "right":
-            u = u.at[nx, :].set(su)
-            v = v.at[nx - 1, :].set(sv)
+            u = where_set(u, su, rows=nx)
+            v = where_set(v, sv, rows=nx - 1)
     return u, v
 
 
@@ -203,8 +205,8 @@ def enforce_pressure_bcs(p, bc: BoundaryConditions):
     first and the remaining walls are appended in this order).
     """
     nx, ny = p.shape
-    p = p.at[:, ny - 1].set(p[:, ny - 2])
-    p = p.at[:, 0].set(p[:, 1])
-    p = p.at[0, :].set(p[1, :])
-    p = p.at[nx - 1, :].set(p[nx - 2, :])
+    p = where_set(p, p[:, ny - 2], cols=ny - 1)
+    p = where_set(p, p[:, 1], cols=0)
+    p = where_set(p, p[1, :], rows=0)
+    p = where_set(p, p[nx - 2, :], rows=nx - 1)
     return p

@@ -7,10 +7,9 @@ so a 20-iteration momentum solve is ~200 dispatches per field per outer
 iteration.  This kernel runs the ENTIRE masked BiCGSTAB
 (``solvers/momentum._bicgstab_masked`` semantics) in one VMEM-resident
 launch: the 5-point matvec as rolls, the dot products as in-kernel
-cross-lane reductions, and the tolerance early-stop emulated by a
-``done`` freeze flag (a fixed ``maxiter``-trip ``fori_loop`` whose body
-is the identity once converged computes the same fixed point as the XLA
-``while_loop``).
+cross-lane reductions, and the tolerance/breakdown stopping rule as an
+in-kernel ``lax.while_loop`` (which lowers on Pallas TPU), identical to
+the XLA path's.
 
 Correctness notes:
 * rolls vs zero-fill shifts: masked output nodes are >= 1 away from every
@@ -85,9 +84,12 @@ def _mk_kernel(maxiter: int, tol: float, lo_i, hi_i, lo_j, hi_j):
         tol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-30)) ** 2
         eps = jnp.asarray(jnp.finfo(ap.dtype).tiny * 1e6, ap.dtype)
 
-        def body(_, carry):
-            x, r, rho, alpha, omega_, v, p, ok = carry
-            live = ok & (jnp.sum(r * r) > tol2)
+        def cond(carry):
+            x, r, rho, alpha, omega_, v, p, k, ok = carry
+            return ok & (k < maxiter) & (jnp.sum(r * r) > tol2)
+
+        def body(carry):
+            x, r, rho, alpha, omega_, v, p, k, ok = carry
             rho_new = jnp.sum(rhat * r)
             good = (jnp.abs(rho) > eps) & (jnp.abs(omega_) > eps)
             beta = jnp.where(good,
@@ -109,17 +111,14 @@ def _mk_kernel(maxiter: int, tol: float, lo_i, hi_i, lo_j, hi_j):
                                   0.0)
             x_new = x + alpha_new * p_new + omega_new * s
             r_new = s - omega_new * t
-
-            # freeze the carry once converged or broken down — identical
-            # fixed point to the XLA while_loop's early exit
-            sel = lambda a_new, a_old: jnp.where(live, a_new, a_old)
-            return (sel(x_new, x), sel(r_new, r), sel(rho_new, rho),
-                    sel(alpha_new, alpha), sel(omega_new, omega_),
-                    sel(v_new, v), sel(p_new, p), ok & (good | ~live))
+            return (x_new, r_new, rho_new, alpha_new, omega_new, v_new,
+                    p_new, k + 1, good)
 
         carry = (x, r0, one, one, one, jnp.zeros_like(x), jnp.zeros_like(x),
-                 jnp.asarray(True))
-        x, *_ = jax.lax.fori_loop(0, maxiter, body, carry)
+                 jnp.asarray(0, jnp.int32), jnp.asarray(True))
+        # in-kernel early exit: lax.while_loop lowers on Pallas TPU, so the
+        # stopping rule is literally _bicgstab_masked's
+        x, *_ = jax.lax.while_loop(cond, body, carry)
         out_ref[:] = jnp.where(mask, x, x0_ref[:])
 
     return kernel

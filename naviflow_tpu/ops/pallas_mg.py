@@ -110,9 +110,16 @@ def supports_fused(levels, cfg) -> bool:
     return total <= VMEM_BUDGET_BYTES
 
 
-def _mk_kernel(meta, cfg):
+def _mk_kernel(meta, cfg, whole_solve: bool = False,
+               mean_normalize: bool = True):
     """Build the kernel body for a static hierarchy ``meta`` =
-    [(shape, five_point), ...] finest -> coarsest."""
+    [(shape, five_point), ...] finest -> coarsest.
+
+    ``whole_solve=False``: one V-cycle, one output (p').
+    ``whole_solve=True``: the ENTIRE ``multigrid_solve`` iteration — the
+    cycle/convergence ``lax.while_loop`` (which lowers on Pallas TPU),
+    the optional mean normalization, and the final residual — with
+    outputs (p, r, cycles, rel)."""
     L = len(meta)
 
     def _roll(x, shift, axis):
@@ -191,7 +198,7 @@ def _mk_kernel(meta, cfg):
 
     def kernel(*refs):
         # layout: p, b, per-level stencils (5 or 9 refs), 4*(L-1)
-        # transfer factors, out
+        # transfer factors, out(s)
         p_ref, b_ref = refs[0], refs[1]
         stencils = []
         off = 2
@@ -201,7 +208,6 @@ def _mk_kernel(meta, cfg):
             off += k
         trans = [tuple(refs[off + 4 * l + k][:] for k in range(4))
                  for l in range(L - 1)]
-        out_ref = refs[-1]
 
         def cycle(lvl, p, b):
             S = stencils[lvl]
@@ -216,9 +222,166 @@ def _mk_kernel(meta, cfg):
             p = p + mm(P, mm(ec, Pt))
             return smooth(p, b, S, cfg.post_smoothing, five)
 
-        out_ref[:] = cycle(0, p_ref[:], b_ref[:])
+        if not whole_solve:
+            refs[-1][:] = cycle(0, p_ref[:], b_ref[:])
+            return
+
+        p_out, r_out, cyc_out, rel_out = refs[-4:]
+        S0 = stencils[0]
+        b = b_ref[:]
+        bnorm = jnp.sqrt(jnp.sum(b * b))
+        safe_b = jnp.where(bnorm > 0, bnorm, jnp.ones_like(bnorm))
+
+        def cond(carry):
+            p, k, rel = carry
+            return (k < cfg.max_cycles) & (rel >= cfg.tolerance)
+
+        def body(carry):
+            p, k, _ = carry
+            for _ in range(cfg.check_every):
+                p = cycle(0, p, b)
+            r = b - apply9v(p, S0)
+            rel = jnp.sqrt(jnp.sum(r * r)) / safe_b
+            return (p, k + cfg.check_every, rel)
+
+        big = jnp.asarray(jnp.inf, b.dtype)
+        p, cycles, rel = jax.lax.while_loop(
+            cond, body, (p_ref[:], jnp.asarray(0, jnp.int32), big))
+        if mean_normalize:
+            p = p - jnp.mean(p)
+        p_out[:] = p
+        r_out[:] = b - apply9v(p, S0)
+        # (1,1)-shaped vector stores — Mosaic cannot store scalars to VMEM
+        cyc_out[:] = jnp.reshape(cycles, (1, 1))
+        rel_out[:] = jnp.reshape(rel, (1, 1))
 
     return kernel
+
+
+_RAP_OFFSETS = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                (1, 1), (-1, 1), (1, -1), (-1, -1))  # Stencil9 field order
+
+
+def supports_fused_rap(nx, ny, cfg, dtype) -> bool:
+    """Gate for :func:`galerkin_levels_pallas` — odd square vertex grids,
+    default transfers, f32, whole hierarchy + fine-shape temporaries in
+    VMEM (the <= 255^2 latency-bound regime)."""
+    if not HAVE_PALLAS or dtype != jnp.float32:
+        return False
+    if (cfg.restriction != "full_weighting" or cfg.prolongation != "linear"
+            or cfg.coarsening != "galerkin"):
+        return False
+    if nx != ny or nx % 2 == 0:
+        return False
+    return 14 * _padded_bytes(nx, ny) <= VMEM_BUDGET_BYTES
+
+
+def _mk_rap_kernel(shapes, fine_five: bool):
+    """Kernel computing EVERY Galerkin coarse stencil of the hierarchy in
+    one launch.  ``shapes``: [(nx0,ny0), (nx1,ny1), ...] finest->coarsest."""
+    L = len(shapes)
+
+    def _roll(x, shift, axis):
+        return pltpu.roll(x, shift % x.shape[axis], axis)
+
+    def apply9v(x, S):
+        c, e, w, n, s = S[:5]
+        out = (c * x + e * _roll(x, -1, 0) + w * _roll(x, 1, 0)
+               + n * _roll(x, -1, 1) + s * _roll(x, 1, 1))
+        if len(S) == 9:
+            ne, nw, se, sw = S[5:]
+            out = (out
+                   + ne * _roll(_roll(x, -1, 0), -1, 1)
+                   + nw * _roll(_roll(x, 1, 0), -1, 1)
+                   + se * _roll(_roll(x, -1, 0), 1, 1)
+                   + sw * _roll(_roll(x, 1, 0), 1, 1))
+        return out
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def kernel(*refs):
+        # inputs: fine stencil (5 or 9), then R/Rt/P/Pt per transition;
+        # outputs: 9 arrays per coarse level
+        nf_st = 5 if fine_five else 9
+        S = tuple(r[:] for r in refs[:nf_st])
+        trans = [tuple(refs[nf_st + 4 * l + k][:] for k in range(4))
+                 for l in range(L - 1)]
+        outs = refs[nf_st + 4 * (L - 1):]
+        dtype = S[0].dtype
+
+        for lvl in range(L - 1):
+            nxc, nyc = shapes[lvl + 1]
+            R, Rt, P, Pt = trans[lvl]
+            ii = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 1)
+            images = []
+            for a in range(3):
+                for b in range(3):
+                    comb = ((ii % 3 == a) & (jj % 3 == b)).astype(dtype)
+                    pe = mm(P, mm(comb, Pt))
+                    img = mm(R, mm(apply9v(pe, S), Rt))
+                    images.append(img)
+            entries = []
+            for di, dj in _RAP_OFFSETS:
+                val = jnp.zeros((nxc, nyc), dtype)
+                ai = (ii + di) % 3
+                bj = (jj + dj) % 3
+                for a in range(3):
+                    for b in range(3):
+                        val = jnp.where((ai == a) & (bj == b),
+                                        images[3 * a + b], val)
+                inside = ((ii + di >= 0) & (ii + di <= nxc - 1)
+                          & (jj + dj >= 0) & (jj + dj <= nyc - 1))
+                entries.append(jnp.where(inside, val,
+                                         jnp.zeros((nxc, nyc), dtype)))
+            for k in range(9):
+                outs[9 * lvl + k][:] = entries[k]
+            S = tuple(entries)
+
+    return kernel
+
+
+def galerkin_levels_pallas(fine_st: Stencil9, shapes, fine_five: bool,
+                           *, interpret: bool = False):
+    """The whole Galerkin RAP hierarchy rebuild as ONE Pallas kernel.
+
+    Composed in XLA, the rebuild is 9 comb chains x ~15 kernels x levels
+    (~500 dispatches, measured 5.1 ms at 63^2 — the DOMINANT per-iteration
+    cost once cycles and momentum are fused, amortized to ~0.6 ms/iter at
+    ``coarse_rebuild_every=8``).  Here: combs from iota masks, transfers
+    as MXU tensor-product matmuls (same R/P factors as the fused V-cycle),
+    stencil applications as rolls, entry recovery as class-mask selection
+    — all elementwise, no gathers.  Returns a list of ``Stencil9``, one
+    per coarse level, numerically equal to ``stencil9.galerkin_coarsen``
+    up to summation order.
+    """
+    L = len(shapes)
+    if fine_five:
+        inputs = [fine_st.c, fine_st.e, fine_st.w, fine_st.n, fine_st.s]
+    else:
+        inputs = [fine_st.c, fine_st.e, fine_st.w, fine_st.n, fine_st.s,
+                  fine_st.ne, fine_st.nw, fine_st.se, fine_st.sw]
+    for (nf_, _), (nc_, _) in zip(shapes, shapes[1:]):
+        inputs += [jnp.asarray(m) for m in _transfer_matrices(nf_, nc_)]
+
+    dtype = fine_st.c.dtype
+    out_shapes = [jax.ShapeDtypeStruct((nxc, nyc), dtype)
+                  for (nxc, nyc) in shapes[1:] for _ in range(9)]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _mk_rap_kernel(tuple(shapes), fine_five),
+        out_shape=out_shapes,
+        in_specs=[spec] * len(inputs),
+        out_specs=[spec] * len(out_shapes),
+        interpret=interpret,
+    )(*inputs)
+    sts = []
+    for lvl in range(L - 1):
+        c, e, w, n, s, ne, nw, se, sw = outs[9 * lvl: 9 * (lvl + 1)]
+        sts.append(Stencil9(c=c, e=e, w=w, n=n, s=s, ne=ne, nw=nw, se=se,
+                            sw=sw))
+    return sts
 
 
 def fused_vcycle(p, b, levels, cfg, *, interpret: bool = False):
@@ -246,3 +409,36 @@ def fused_vcycle(p, b, levels, cfg, *, interpret: bool = False):
         out_specs=spec,
         interpret=interpret,
     )(*inputs)
+
+
+def fused_mg_solve(p0, b, levels, cfg, *, mean_normalize: bool = True,
+                   interpret: bool = False):
+    """The ENTIRE ``multigrid_solve`` loop as one Pallas kernel launch:
+    cycles, convergence checks (in-kernel ``lax.while_loop``), optional
+    mean normalization, and the final residual.  Returns
+    ``(p, r_field, cycles, rel)`` with the scalars as 0-d arrays.  Gate
+    with :func:`supports_fused` (caller's responsibility)."""
+    meta = tuple(((nx, ny), five) for _, (nx, ny), five, _ in levels)
+    inputs = [p0, b]
+    for st, _, five, _ in levels:
+        inputs += [st.c, st.e, st.w, st.n, st.s]
+        if not five:
+            inputs += [st.ne, st.nw, st.se, st.sw]
+    for (_, (nf, _), _, _), (_, (nc, _), _, _) in zip(levels, levels[1:]):
+        inputs += [jnp.asarray(m) for m in _transfer_matrices(nf, nc)]
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct(p0.shape, p0.dtype),  # p
+        jax.ShapeDtypeStruct(p0.shape, p0.dtype),  # residual field
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),   # cycles
+        jax.ShapeDtypeStruct((1, 1), p0.dtype),    # rel residual
+    ]
+    p, r, cycles, rel = pl.pallas_call(
+        _mk_kernel(meta, cfg, whole_solve=True, mean_normalize=mean_normalize),
+        out_shape=out_shapes,
+        in_specs=[spec] * len(inputs),
+        out_specs=[spec] * 4,
+        interpret=interpret,
+    )(*inputs)
+    return p, r, cycles[0, 0], rel[0, 0]

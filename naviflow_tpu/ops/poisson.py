@@ -40,7 +40,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .stencil import shift_e, shift_n, shift_s, shift_w
+from .stencil import shift_e, shift_n, shift_s, shift_w, where_add, where_set
 
 
 @jax.tree_util.register_dataclass
@@ -78,8 +78,8 @@ def poisson_coefficients(d_u, d_v, *, dx, dy, rho, variant: str = "reference") -
         # — the reference operator (which keeps them) leaves a persistent
         # O(a*p') defect in boundary cells that floors the outer residual
         # near 1e-3 (the reference's own demonstrated tolerance regime).
-        d_u = d_u.at[:, 0].set(0.0).at[:, ny - 1].set(0.0)
-        d_v = d_v.at[0, :].set(0.0).at[nx - 1, :].set(0.0)
+        d_u = where_set(where_set(d_u, 0.0, cols=0), 0.0, cols=ny - 1)
+        d_v = where_set(where_set(d_v, 0.0, rows=0), 0.0, rows=nx - 1)
 
     a_e = jnp.pad(rho * d_u[1:nx, :] * dy, ((0, 1), (0, 0)))
     a_w = jnp.pad(rho * d_u[1:nx, :] * dy, ((1, 0), (0, 0)))
@@ -90,14 +90,14 @@ def poisson_coefficients(d_u, d_v, *, dx, dy, rho, variant: str = "reference") -
     if variant == "reference":
         # Fold the boundary cell's interior-facing coefficient into the
         # diagonal and cut the link (reference quirk, see module docstring).
-        diag = diag.at[0, :].add(a_e[0, :])
-        diag = diag.at[nx - 1, :].add(a_w[nx - 1, :])
-        diag = diag.at[:, 0].add(a_n[:, 0])
-        diag = diag.at[:, ny - 1].add(a_s[:, ny - 1])
-        a_e = a_e.at[0, :].set(0.0)
-        a_w = a_w.at[nx - 1, :].set(0.0)
-        a_n = a_n.at[:, 0].set(0.0)
-        a_s = a_s.at[:, ny - 1].set(0.0)
+        diag = where_add(diag, a_e[0, :], rows=0)
+        diag = where_add(diag, a_w[nx - 1, :], rows=nx - 1)
+        diag = where_add(diag, a_n[:, 0], cols=0)
+        diag = where_add(diag, a_s[:, ny - 1], cols=ny - 1)
+        a_e = where_set(a_e, 0.0, rows=0)
+        a_w = where_set(a_w, 0.0, rows=nx - 1)
+        a_n = where_set(a_n, 0.0, cols=0)
+        a_s = where_set(a_s, 0.0, cols=ny - 1)
     elif variant not in ("symmetric", "consistent"):
         raise ValueError(f"Unknown poisson operator variant: {variant}")
 
@@ -120,7 +120,7 @@ def apply_poisson(p, c: PoissonCoeffs, *, pinned: bool = True):
         - c.a_s * shift_s(p)
     )
     if pinned:
-        out = out.at[0, 0].set(p[0, 0])
+        out = where_set(out, p[0, 0], rows=0, cols=0)
     return out
 
 
@@ -129,7 +129,7 @@ def poisson_diagonal(c: PoissonCoeffs, *, pinned: bool = True, floor: float = 1e
     (``gauss_seidel.py:263-264`` sets a_P < 1e-15 to 1)."""
     d = jnp.where(c.diag < floor, jnp.ones_like(c.diag), c.diag)
     if pinned:
-        d = d.at[0, 0].set(1.0)
+        d = where_set(d, 1.0, rows=0, cols=0)
     return d
 
 
@@ -141,7 +141,7 @@ def pressure_rhs(u_star, v_star, *, dx, dy, rho, pin: bool = True):
         (u_star[:-1, :] - u_star[1:, :]) * dy + (v_star[:, :-1] - v_star[:, 1:]) * dx
     )
     if pin:
-        b = b.at[0, 0].set(0.0)
+        b = where_set(b, 0.0, rows=0, cols=0)
     return b
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .stencil import StencilCoeffs
+from .stencil import StencilCoeffs, where_add, where_set
 
 
 def power_law_A(F, D):
@@ -57,30 +57,30 @@ def u_momentum_coefficients(u, v, p, *, dx, dy, rho, mu) -> StencilCoeffs:
     # bottom (Fs=0 at j=0) or top (Fn=0 at j=ny-1) walls.
     Fn = 0.5 * rho * dx * (v[1:nx, 1:] + v[0 : nx - 1, 1:])
     Fs = 0.5 * rho * dx * (v[1:nx, :-1] + v[0 : nx - 1, :-1])
-    Fn = Fn.at[:, ny - 1].set(0.0)
-    Fs = Fs.at[:, 0].set(0.0)
+    Fn = where_set(Fn, 0.0, cols=ny - 1)
+    Fs = where_set(Fs, 0.0, cols=0)
 
     a_e = De * power_law_A(Fe, De) + jnp.maximum(-Fe, 0.0)
     a_w = De * power_law_A(Fw, De) + jnp.maximum(Fw, 0.0)
     a_n = Dn * power_law_A(Fn, Dn) + jnp.maximum(-Fn, 0.0)
     a_s = Dn * power_law_A(Fs, Dn) + jnp.maximum(Fs, 0.0)
     # Walls carry no north/south link on their adjacent row.
-    a_n = a_n.at[:, ny - 1].set(0.0)
-    a_s = a_s.at[:, 0].set(0.0)
+    a_n = where_set(a_n, 0.0, cols=ny - 1)
+    a_s = where_set(a_s, 0.0, cols=0)
 
     a_p = a_e + a_w + a_n + a_s + (Fe - Fw) + (Fn - Fs)
     src = (p[0 : nx - 1, :] - p[1:nx, :]) * dy
 
     # Practice B: fold boundary-velocity contributions into the source and
     # cut the links (local row 0 is i=1; local row nx-2 is i=nx-1).
-    src = src.at[0, :].add(a_w[0, :] * u[0, :])
-    a_w = a_w.at[0, :].set(0.0)
-    src = src.at[nx - 2, :].add(a_e[nx - 2, :] * u[nx, :])
-    a_e = a_e.at[nx - 2, :].set(0.0)
-    src = src.at[:, 1].add(a_s[:, 1] * u[1:nx, 0])
-    a_s = a_s.at[:, 1].set(0.0)
-    src = src.at[:, ny - 2].add(a_n[:, ny - 2] * u[1:nx, ny - 1])
-    a_n = a_n.at[:, ny - 2].set(0.0)
+    src = where_add(src, a_w[0, :] * u[0, :], rows=0)
+    a_w = where_set(a_w, 0.0, rows=0)
+    src = where_add(src, a_e[nx - 2, :] * u[nx, :], rows=nx - 2)
+    a_e = where_set(a_e, 0.0, rows=nx - 2)
+    src = where_add(src, a_s[:, 1] * u[1:nx, 0], cols=1)
+    a_s = where_set(a_s, 0.0, cols=1)
+    src = where_add(src, a_n[:, ny - 2] * u[1:nx, ny - 1], cols=ny - 2)
+    a_n = where_set(a_n, 0.0, cols=ny - 2)
 
     pad = lambda x: jnp.pad(x, ((1, 1), (0, 0)))
     return StencilCoeffs(
@@ -105,8 +105,8 @@ def v_momentum_coefficients(u, v, p, *, dx, dy, rho, mu) -> StencilCoeffs:
     # Solved columns j = 1 .. ny-1 (local column c corresponds to j = c+1).
     Fe = 0.5 * rho * dy * (u[1 : nx + 1, 1:ny] + u[1 : nx + 1, 0 : ny - 1])
     Fw = 0.5 * rho * dy * (u[0:nx, 1:ny] + u[0:nx, 0 : ny - 1])
-    Fe = Fe.at[nx - 1, :].set(0.0)  # no flow through the right wall
-    Fw = Fw.at[0, :].set(0.0)  # no flow through the left wall
+    Fe = where_set(Fe, 0.0, rows=nx - 1)  # no flow through the right wall
+    Fw = where_set(Fw, 0.0, rows=0)  # no flow through the left wall
     Fn = 0.5 * rho * dx * (v[:, 1:ny] + v[:, 2 : ny + 1])
     Fs = 0.5 * rho * dx * (v[:, 0 : ny - 1] + v[:, 1:ny])
 
@@ -114,21 +114,21 @@ def v_momentum_coefficients(u, v, p, *, dx, dy, rho, mu) -> StencilCoeffs:
     a_w = De * power_law_A(Fw, De) + jnp.maximum(Fw, 0.0)
     a_n = Dn * power_law_A(Fn, Dn) + jnp.maximum(-Fn, 0.0)
     a_s = Dn * power_law_A(Fs, Dn) + jnp.maximum(Fs, 0.0)
-    a_e = a_e.at[nx - 1, :].set(0.0)
-    a_w = a_w.at[0, :].set(0.0)
+    a_e = where_set(a_e, 0.0, rows=nx - 1)
+    a_w = where_set(a_w, 0.0, rows=0)
 
     a_p = a_e + a_w + a_n + a_s + (Fe - Fw) + (Fn - Fs)
     src = (p[:, 0 : ny - 1] - p[:, 1:ny]) * dx
 
     # Practice B (local column 0 is j=1; local column ny-2 is j=ny-1).
-    src = src.at[:, 0].add(a_s[:, 0] * v[:, 0])
-    a_s = a_s.at[:, 0].set(0.0)
-    src = src.at[:, ny - 2].add(a_n[:, ny - 2] * v[:, ny])
-    a_n = a_n.at[:, ny - 2].set(0.0)
-    src = src.at[1, :].add(a_w[1, :] * v[0, 1:ny])
-    a_w = a_w.at[1, :].set(0.0)
-    src = src.at[nx - 2, :].add(a_e[nx - 2, :] * v[nx - 1, 1:ny])
-    a_e = a_e.at[nx - 2, :].set(0.0)
+    src = where_add(src, a_s[:, 0] * v[:, 0], cols=0)
+    a_s = where_set(a_s, 0.0, cols=0)
+    src = where_add(src, a_n[:, ny - 2] * v[:, ny], cols=ny - 2)
+    a_n = where_set(a_n, 0.0, cols=ny - 2)
+    src = where_add(src, a_w[1, :] * v[0, 1:ny], rows=1)
+    a_w = where_set(a_w, 0.0, rows=1)
+    src = where_add(src, a_e[nx - 2, :] * v[nx - 1, 1:ny], rows=nx - 2)
+    a_e = where_set(a_e, 0.0, rows=nx - 2)
 
     pad = lambda x: jnp.pad(x, ((0, 0), (1, 1)))
     return StencilCoeffs(
@@ -160,7 +160,7 @@ def d_coefficient(a_p_relaxed, spacing, *, is_u: bool):
     """
     d = jnp.where(jnp.abs(a_p_relaxed) > 1e-12, spacing / a_p_relaxed, 0.0)
     if is_u:
-        d = d.at[0, :].set(0.0).at[-1, :].set(0.0)
+        d = where_set(where_set(d, 0.0, rows=0), 0.0, rows=d.shape[0] - 1)
     else:
-        d = d.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        d = where_set(where_set(d, 0.0, cols=0), 0.0, cols=d.shape[1] - 1)
     return d

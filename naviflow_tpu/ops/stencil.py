@@ -82,6 +82,44 @@ def neighbor_sum(x, c: StencilCoeffs):
     )
 
 
+def _edit_mask(shape, rows, cols):
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    m = jnp.ones(shape, bool)
+    if rows is not None:
+        lo, hi = (rows, rows + 1) if isinstance(rows, int) else rows
+        m &= (ii >= lo) & (ii < hi)
+    if cols is not None:
+        lo, hi = (cols, cols + 1) if isinstance(cols, int) else cols
+        m &= (jj >= lo) & (jj < hi)
+    return m
+
+
+def _col_val(val, cols):
+    # a 1-D value written into a single column must broadcast down axis 0
+    if isinstance(cols, int) and hasattr(val, "ndim") and val.ndim == 1:
+        return val[:, None]
+    return val
+
+
+def where_set(x, val, *, rows=None, cols=None):
+    """``x.at[rows, cols].set(val)`` in select form.
+
+    ``rows``/``cols``: an int index, a ``(lo, hi)`` half-open range, or
+    ``None`` (whole axis).  Same values as the scatter form, but lowers as
+    pure elementwise select — Pallas TPU has no scatter lowering, and this
+    form is what lets the whole assembly/BC/correction path run inside
+    fused whole-step kernels.  XLA compiles both forms identically.
+    """
+    return jnp.where(_edit_mask(x.shape, rows, cols), _col_val(val, cols), x)
+
+
+def where_add(x, delta, *, rows=None, cols=None):
+    """``x.at[rows, cols].add(delta)`` in select form (see where_set)."""
+    return jnp.where(_edit_mask(x.shape, rows, cols),
+                     x + _col_val(delta, cols), x)
+
+
 def interior_mask(shape, lo_i=1, hi_i=1, lo_j=1, hi_j=1, dtype=bool):
     """Boolean mask that is True strictly inside the given margins."""
     ni, nj = shape

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.poisson import PoissonCoeffs, apply_poisson, poisson_diagonal
-from ..ops.stencil import shift_e, shift_n, shift_s, shift_w
+from ..ops.stencil import shift_e, shift_n, shift_s, shift_w, where_set
 
 
 @jax.tree_util.register_dataclass
@@ -78,10 +78,10 @@ def rbgs_sweep(p, b, c: PoissonCoeffs, omega: float, *, pin: bool = True):
     jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     red = (ii + jj) % 2 == 0
     if pin:
-        red = red.at[0, 0].set(False)
+        red = where_set(red, False, rows=0, cols=0)
     black = jnp.logical_not(red)
     if pin:
-        black = black.at[0, 0].set(False)
+        black = where_set(black, False, rows=0, cols=0)
     inv_ap = 1.0 / poisson_diagonal(c, pinned=pin)
 
     def half(p, color):
@@ -97,7 +97,7 @@ def rbgs_sweep(p, b, c: PoissonCoeffs, omega: float, *, pin: bool = True):
     p = half(p, red)
     p = half(p, black)
     if pin:
-        p = p.at[0, 0].set(0.0)
+        p = where_set(p, 0.0, rows=0, cols=0)
     return p
 
 
@@ -107,7 +107,7 @@ def jacobi_sweep(p, b, c: PoissonCoeffs, omega: float, *, pin: bool = True):
     r = b - apply_poisson(p, c, pinned=pin)
     p_new = p + omega * r / diag
     if pin:
-        p_new = p_new.at[0, 0].set(0.0)
+        p_new = where_set(p_new, 0.0, rows=0, cols=0)
     return p_new
 
 
@@ -149,7 +149,7 @@ def pres_correct(b, c: PoissonCoeffs, p_star, cfg, *, alpha_p: float = 0.3,
     p_prime, info = solve_pressure(b, c, jnp.zeros_like(p_star), cfg, pin=pin)
     p = p_star + alpha_p * p_prime
     if pin:
-        p = p.at[0, 0].set(0.0)
+        p = where_set(p, 0.0, rows=0, cols=0)
     return p, p_prime, info
 
 
@@ -218,7 +218,7 @@ def solve_pressure(
     else:
         raise ValueError(f"Unknown pressure solver kind: {cfg.kind}")
     if pin:
-        p0 = p0.at[0, 0].set(0.0)
+        p0 = where_set(p0, 0.0, rows=0, cols=0)
     return _iterate(
         p0, b, c, sweep, cfg.tolerance, cfg.max_iterations, cfg.check_every, pin
     )

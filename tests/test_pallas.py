@@ -127,3 +127,52 @@ def test_fused_bicgstab_matches_xla_solver():
         d = float(jnp.max(jnp.abs(ref - fus)))
         s = float(jnp.max(jnp.abs(ref))) + 1e-30
         assert d / s < 1e-4, (maxiter, d / s)
+
+
+def test_fused_rap_matches_galerkin_coarsen():
+    """ops/pallas_mg.galerkin_levels_pallas == the per-level
+    stencil9.galerkin_coarsen hierarchy (class-mask comb recovery,
+    matmul-form transfers)."""
+    from naviflow_tpu.ops.pallas_mg import (galerkin_levels_pallas,
+                                            supports_fused_rap)
+    from naviflow_tpu.solvers.multigrid import MultigridConfig, build_levels
+
+    nx = 31
+    d_u, d_v, b, dx, dy = _mg_system(nx)
+    cfg = MultigridConfig()
+    levels = build_levels(d_u, d_v, cfg, dx=dx, dy=dy, rho=1.0,
+                          variant="consistent")
+    assert supports_fused_rap(nx, nx, cfg, jnp.float32)
+    shapes = [lv[1] for lv in levels]
+    sts = galerkin_levels_pallas(levels[0][0], shapes, True, interpret=True)
+    for (st_ref, shp, _, _), st_f in zip(levels[1:], sts):
+        for name in ("c", "e", "w", "n", "s", "ne", "nw", "se", "sw"):
+            a = getattr(st_ref, name)
+            bb = getattr(st_f, name)
+            d = float(jnp.max(jnp.abs(a - bb)))
+            s = float(jnp.max(jnp.abs(a))) + 1e-30
+            assert d / s < 1e-5, (shp, name, d / s)
+
+
+def test_fused_mg_solve_matches_multigrid_solve():
+    """ops/pallas_mg.fused_mg_solve (whole-solve kernel, in-kernel
+    while_loop) == solvers/multigrid.multigrid_solve: same cycle count,
+    same solution."""
+    from naviflow_tpu.ops.pallas_mg import fused_mg_solve
+    from naviflow_tpu.solvers.multigrid import (MultigridConfig, build_levels,
+                                                multigrid_solve)
+
+    nx = 31
+    d_u, d_v, b, dx, dy = _mg_system(nx)
+    cfg = MultigridConfig(tolerance=1e-4, max_cycles=30, check_every=2,
+                          coarsest_sweeps=16)
+    levels = build_levels(d_u, d_v, cfg, dx=dx, dy=dy, rho=1.0,
+                          variant="consistent")
+    p0 = jnp.zeros((nx, nx), jnp.float32)
+    p_ref, info = multigrid_solve(b, d_u, d_v, p0, cfg, dx=dx, dy=dy, rho=1.0)
+    p_f, r_f, cyc, rel = fused_mg_solve(p0, b, levels, cfg, interpret=True)
+    assert int(cyc) == int(info.iterations)
+    d = float(jnp.max(jnp.abs(p_ref - p_f)))
+    s = float(jnp.max(jnp.abs(p_ref))) + 1e-30
+    assert d / s < 1e-4
+    assert abs(float(rel) - float(info.rel_residual)) < 1e-5
