@@ -93,7 +93,7 @@ def main():
 
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=20)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=6, cycle_type="v",
-                           check_every=2, coarsest_sweeps=32,
+                           check_every=2, coarsest_sweeps=8,
                            coarse_rebuild_every=8,
                            backend=os.environ.get("BENCH_MG_BACKEND", "auto"),
                            smoother_dtype=os.environ.get(

@@ -75,11 +75,42 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
         )
 
+    def _fused_step_ok(shape, dtype):
+        """Trace-time gate for the whole-step Pallas kernel
+        (ops/pallas_step.py): one kernel per outer iteration, in-kernel
+        RAP — the latency-bound small-grid fast path."""
+        if (jax.default_backend() != "tpu"
+                or getattr(pres_cfg, "backend", "auto")
+                not in ("auto", "pallas")):
+            return False
+        from ..ops.pallas_step import supports_fused_step
+
+        return supports_fused_step(shape[0], shape[1], cfg, mom_cfg,
+                                   pres_cfg, dtype)
+
     def step(u, v, p, extra):
         if lagged:
             p_max_l2, mg_extra = extra
         else:
             p_max_l2 = extra
+
+        if _fused_step_ok(p.shape, p.dtype):
+            from ..ops.pallas_step import fused_simple_step
+
+            (u_new, v_new, p_new, p_max_new, u_norm, v_norm, p_rel,
+             cycles, r_u, r_v, r_p) = fused_simple_step(
+                u, v, p, p_max_l2, dx=dx, dy=dy, rho=rho, mu=mu, bc=bc,
+                simple_cfg=cfg, mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+            info = StepInfo(u_norm=u_norm, v_norm=v_norm, p_norm=p_rel,
+                            inner_iterations=cycles,
+                            r_u=r_u, r_v=r_v, r_p=r_p)
+            # lagged carry passes through untouched (the fused step
+            # rebuilds the coarse hierarchy in-kernel every iteration —
+            # always-fresh operators at in-kernel cost)
+            extra_out = ((p_max_new, (mg_extra[0] + 1, mg_extra[1]))
+                         if lagged else p_max_new)
+            return u_new, v_new, p_new, extra_out, info
+
         p_star = p
         u_star, d_u, r_u, u_norm = solve_u_momentum(
             u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,

@@ -110,6 +110,137 @@ def supports_fused(levels, cfg) -> bool:
     return total <= VMEM_BUDGET_BYTES
 
 
+# ---------------------------------------------------------------------------
+# Value-level building blocks — usable both inside this module's kernels and
+# inside larger fused kernels (ops/pallas_step.py composes the whole SIMPLE
+# step from these plus the ordinary jnp assembly functions).
+
+def _roll(x, shift, axis):
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def apply9v(x, S):
+    """9-point stencil apply on a 5- or 9-tuple of coefficient arrays
+    (five-point levels omit the identically-zero corner links)."""
+    c, e, w, n, s = S[:5]
+    out = (
+        c * x
+        + e * _roll(x, -1, 0)
+        + w * _roll(x, 1, 0)
+        + n * _roll(x, -1, 1)
+        + s * _roll(x, 1, 1)
+    )
+    if len(S) == 9:
+        ne, nw, se, sw = S[5:]
+        out = (
+            out
+            + ne * _roll(_roll(x, -1, 0), -1, 1)
+            + nw * _roll(_roll(x, 1, 0), -1, 1)
+            + se * _roll(_roll(x, -1, 0), 1, 1)
+            + sw * _roll(_roll(x, 1, 0), 1, 1)
+        )
+    return out
+
+
+def _inv_diag(S):
+    c = S[0]
+    safe = jnp.where(jnp.abs(c) < 1e-15, jnp.ones_like(c), c)
+    return 1.0 / safe
+
+
+def _masks(shape):
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ii, jj
+
+
+def rb2_sweep_v(p, b, S, omega):
+    ii, jj = _masks(p.shape)
+    red = (ii + jj) % 2 == 0
+    invc = _inv_diag(S)
+
+    def half(p, color):
+        off = apply9v(p, S) - S[0] * p
+        p_new = (b - off) * invc
+        return jnp.where(color, p + omega * (p_new - p), p)
+
+    p = half(p, red)
+    return half(p, jnp.logical_not(red))
+
+
+def gs4_sweep_v(p, b, S, omega):
+    ii, jj = _masks(p.shape)
+    invc = _inv_diag(S)
+
+    def quarter(p, color):
+        off = apply9v(p, S) - S[0] * p
+        p_new = (b - off) * invc
+        return jnp.where(color, p + omega * (p_new - p), p)
+
+    for a in range(2):
+        for bpar in range(2):
+            p = quarter(p, (ii % 2 == a) & (jj % 2 == bpar))
+    return p
+
+
+def smooth_v(p, b, S, n, five, omega):
+    fn = rb2_sweep_v if five else gs4_sweep_v
+    if n <= 2:
+        for _ in range(n):
+            p = fn(p, b, S, omega)
+        return p
+    return jax.lax.fori_loop(0, n, lambda _, q: fn(q, b, S, omega), p)
+
+
+def mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def vcycle_value(p, b, stencils, trans, meta, cfg, lvl: int = 0):
+    """One V-cycle over value tuples (stencils/transfer factors already
+    loaded from refs or computed in-kernel)."""
+    L = len(meta)
+    S = stencils[lvl]
+    _, five = meta[lvl]
+    if lvl == L - 1:
+        return smooth_v(p, b, S, cfg.coarsest_sweeps, five, cfg.omega)
+    p = smooth_v(p, b, S, cfg.pre_smoothing, five, cfg.omega)
+    r = b - apply9v(p, S)
+    R, Rt, P, Pt = trans[lvl]
+    rc = mm(R, mm(r, Rt))
+    ec = vcycle_value(jnp.zeros_like(rc), rc, stencils, trans, meta, cfg,
+                      lvl + 1)
+    p = p + mm(P, mm(ec, Pt))
+    return smooth_v(p, b, S, cfg.post_smoothing, five, cfg.omega)
+
+
+def mg_solve_value(p0, b, stencils, trans, meta, cfg, mean_normalize: bool):
+    """The full multigrid_solve loop over values: cycles + convergence
+    while_loop + optional mean normalization.  Returns (p, r, cycles, rel)."""
+    S0 = stencils[0]
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    safe_b = jnp.where(bnorm > 0, bnorm, jnp.ones_like(bnorm))
+
+    def cond(carry):
+        p, k, rel = carry
+        return (k < cfg.max_cycles) & (rel >= cfg.tolerance)
+
+    def body(carry):
+        p, k, _ = carry
+        for _ in range(cfg.check_every):
+            p = vcycle_value(p, b, stencils, trans, meta, cfg)
+        r = b - apply9v(p, S0)
+        rel = jnp.sqrt(jnp.sum(r * r)) / safe_b
+        return (p, k + cfg.check_every, rel)
+
+    big = jnp.asarray(jnp.inf, b.dtype)
+    p, cycles, rel = jax.lax.while_loop(
+        cond, body, (p0, jnp.asarray(0, jnp.int32), big))
+    if mean_normalize:
+        p = p - jnp.mean(p)
+    return p, b - apply9v(p, S0), cycles, rel
+
+
 def _mk_kernel(meta, cfg, whole_solve: bool = False,
                mean_normalize: bool = True):
     """Build the kernel body for a static hierarchy ``meta`` =
@@ -121,80 +252,6 @@ def _mk_kernel(meta, cfg, whole_solve: bool = False,
     the optional mean normalization, and the final residual — with
     outputs (p, r, cycles, rel)."""
     L = len(meta)
-
-    def _roll(x, shift, axis):
-        return pltpu.roll(x, shift % x.shape[axis], axis)
-
-    def apply9v(x, S):
-        # five-point levels carry 5 stencil refs (corner links are
-        # identically zero), Galerkin levels all 9
-        c, e, w, n, s = S[:5]
-        out = (
-            c * x
-            + e * _roll(x, -1, 0)
-            + w * _roll(x, 1, 0)
-            + n * _roll(x, -1, 1)
-            + s * _roll(x, 1, 1)
-        )
-        if len(S) == 9:
-            ne, nw, se, sw = S[5:]
-            out = (
-                out
-                + ne * _roll(_roll(x, -1, 0), -1, 1)
-                + nw * _roll(_roll(x, 1, 0), -1, 1)
-                + se * _roll(_roll(x, -1, 0), 1, 1)
-                + sw * _roll(_roll(x, 1, 0), 1, 1)
-            )
-        return out
-
-    def _inv_diag(S):
-        c = S[0]
-        safe = jnp.where(jnp.abs(c) < 1e-15, jnp.ones_like(c), c)
-        return 1.0 / safe
-
-    def _masks(shape):
-        ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        return ii, jj
-
-    def rb2_sweep(p, b, S, omega):
-        ii, jj = _masks(p.shape)
-        red = (ii + jj) % 2 == 0
-        invc = _inv_diag(S)
-
-        def half(p, color):
-            off = apply9v(p, S) - S[0] * p
-            p_new = (b - off) * invc
-            return jnp.where(color, p + omega * (p_new - p), p)
-
-        p = half(p, red)
-        return half(p, jnp.logical_not(red))
-
-    def gs4_sweep(p, b, S, omega):
-        ii, jj = _masks(p.shape)
-        invc = _inv_diag(S)
-
-        def quarter(p, color):
-            off = apply9v(p, S) - S[0] * p
-            p_new = (b - off) * invc
-            return jnp.where(color, p + omega * (p_new - p), p)
-
-        for a in range(2):
-            for bpar in range(2):
-                p = quarter(p, (ii % 2 == a) & (jj % 2 == bpar))
-        return p
-
-    def smooth(p, b, S, n, five):
-        fn = rb2_sweep if five else gs4_sweep
-        if n <= 2:
-            for _ in range(n):
-                p = fn(p, b, S, cfg.omega)
-            return p
-        return jax.lax.fori_loop(
-            0, n, lambda _, q: fn(q, b, S, cfg.omega), p)
-
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     def kernel(*refs):
         # layout: p, b, per-level stencils (5 or 9 refs), 4*(L-1)
@@ -209,48 +266,16 @@ def _mk_kernel(meta, cfg, whole_solve: bool = False,
         trans = [tuple(refs[off + 4 * l + k][:] for k in range(4))
                  for l in range(L - 1)]
 
-        def cycle(lvl, p, b):
-            S = stencils[lvl]
-            _, five = meta[lvl]
-            if lvl == L - 1:
-                return smooth(p, b, S, cfg.coarsest_sweeps, five)
-            p = smooth(p, b, S, cfg.pre_smoothing, five)
-            r = b - apply9v(p, S)
-            R, Rt, P, Pt = trans[lvl]
-            rc = mm(R, mm(r, Rt))
-            ec = cycle(lvl + 1, jnp.zeros_like(rc), rc)
-            p = p + mm(P, mm(ec, Pt))
-            return smooth(p, b, S, cfg.post_smoothing, five)
-
         if not whole_solve:
-            refs[-1][:] = cycle(0, p_ref[:], b_ref[:])
+            refs[-1][:] = vcycle_value(p_ref[:], b_ref[:], stencils, trans,
+                                       meta, cfg)
             return
 
         p_out, r_out, cyc_out, rel_out = refs[-4:]
-        S0 = stencils[0]
-        b = b_ref[:]
-        bnorm = jnp.sqrt(jnp.sum(b * b))
-        safe_b = jnp.where(bnorm > 0, bnorm, jnp.ones_like(bnorm))
-
-        def cond(carry):
-            p, k, rel = carry
-            return (k < cfg.max_cycles) & (rel >= cfg.tolerance)
-
-        def body(carry):
-            p, k, _ = carry
-            for _ in range(cfg.check_every):
-                p = cycle(0, p, b)
-            r = b - apply9v(p, S0)
-            rel = jnp.sqrt(jnp.sum(r * r)) / safe_b
-            return (p, k + cfg.check_every, rel)
-
-        big = jnp.asarray(jnp.inf, b.dtype)
-        p, cycles, rel = jax.lax.while_loop(
-            cond, body, (p_ref[:], jnp.asarray(0, jnp.int32), big))
-        if mean_normalize:
-            p = p - jnp.mean(p)
+        p, r, cycles, rel = mg_solve_value(p_ref[:], b_ref[:], stencils,
+                                           trans, meta, cfg, mean_normalize)
         p_out[:] = p
-        r_out[:] = b - apply9v(p, S0)
+        r_out[:] = r
         # (1,1)-shaped vector stores — Mosaic cannot store scalars to VMEM
         cyc_out[:] = jnp.reshape(cycles, (1, 1))
         rel_out[:] = jnp.reshape(rel, (1, 1))
@@ -276,29 +301,45 @@ def supports_fused_rap(nx, ny, cfg, dtype) -> bool:
     return 14 * _padded_bytes(nx, ny) <= VMEM_BUDGET_BYTES
 
 
+def galerkin_rap_value(S, shapes, trans):
+    """All Galerkin coarse stencils over values (see
+    :func:`galerkin_levels_pallas`).  ``S``: fine stencil tuple (5 or 9
+    arrays); returns a list of 9-tuples, one per coarse level."""
+    dtype = S[0].dtype
+    out_levels = []
+    for lvl in range(len(shapes) - 1):
+        nxc, nyc = shapes[lvl + 1]
+        R, Rt, P, Pt = trans[lvl]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 1)
+        images = []
+        for a in range(3):
+            for b in range(3):
+                comb = ((ii % 3 == a) & (jj % 3 == b)).astype(dtype)
+                pe = mm(P, mm(comb, Pt))
+                images.append(mm(R, mm(apply9v(pe, S), Rt)))
+        entries = []
+        for di, dj in _RAP_OFFSETS:
+            val = jnp.zeros((nxc, nyc), dtype)
+            ai = (ii + di) % 3
+            bj = (jj + dj) % 3
+            for a in range(3):
+                for b in range(3):
+                    val = jnp.where((ai == a) & (bj == b),
+                                    images[3 * a + b], val)
+            inside = ((ii + di >= 0) & (ii + di <= nxc - 1)
+                      & (jj + dj >= 0) & (jj + dj <= nyc - 1))
+            entries.append(jnp.where(inside, val,
+                                     jnp.zeros((nxc, nyc), dtype)))
+        out_levels.append(tuple(entries))
+        S = tuple(entries)
+    return out_levels
+
+
 def _mk_rap_kernel(shapes, fine_five: bool):
     """Kernel computing EVERY Galerkin coarse stencil of the hierarchy in
     one launch.  ``shapes``: [(nx0,ny0), (nx1,ny1), ...] finest->coarsest."""
     L = len(shapes)
-
-    def _roll(x, shift, axis):
-        return pltpu.roll(x, shift % x.shape[axis], axis)
-
-    def apply9v(x, S):
-        c, e, w, n, s = S[:5]
-        out = (c * x + e * _roll(x, -1, 0) + w * _roll(x, 1, 0)
-               + n * _roll(x, -1, 1) + s * _roll(x, 1, 1))
-        if len(S) == 9:
-            ne, nw, se, sw = S[5:]
-            out = (out
-                   + ne * _roll(_roll(x, -1, 0), -1, 1)
-                   + nw * _roll(_roll(x, 1, 0), -1, 1)
-                   + se * _roll(_roll(x, -1, 0), 1, 1)
-                   + sw * _roll(_roll(x, 1, 0), 1, 1))
-        return out
-
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     def kernel(*refs):
         # inputs: fine stencil (5 or 9), then R/Rt/P/Pt per transition;
@@ -308,36 +349,9 @@ def _mk_rap_kernel(shapes, fine_five: bool):
         trans = [tuple(refs[nf_st + 4 * l + k][:] for k in range(4))
                  for l in range(L - 1)]
         outs = refs[nf_st + 4 * (L - 1):]
-        dtype = S[0].dtype
-
-        for lvl in range(L - 1):
-            nxc, nyc = shapes[lvl + 1]
-            R, Rt, P, Pt = trans[lvl]
-            ii = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (nxc, nyc), 1)
-            images = []
-            for a in range(3):
-                for b in range(3):
-                    comb = ((ii % 3 == a) & (jj % 3 == b)).astype(dtype)
-                    pe = mm(P, mm(comb, Pt))
-                    img = mm(R, mm(apply9v(pe, S), Rt))
-                    images.append(img)
-            entries = []
-            for di, dj in _RAP_OFFSETS:
-                val = jnp.zeros((nxc, nyc), dtype)
-                ai = (ii + di) % 3
-                bj = (jj + dj) % 3
-                for a in range(3):
-                    for b in range(3):
-                        val = jnp.where((ai == a) & (bj == b),
-                                        images[3 * a + b], val)
-                inside = ((ii + di >= 0) & (ii + di <= nxc - 1)
-                          & (jj + dj >= 0) & (jj + dj <= nyc - 1))
-                entries.append(jnp.where(inside, val,
-                                         jnp.zeros((nxc, nyc), dtype)))
+        for lvl, entries in enumerate(galerkin_rap_value(S, shapes, trans)):
             for k in range(9):
                 outs[9 * lvl + k][:] = entries[k]
-            S = tuple(entries)
 
     return kernel
 

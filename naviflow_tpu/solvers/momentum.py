@@ -389,13 +389,11 @@ def _unrelaxed_residual(x_star, c_un, *, is_u: bool, compensated: bool = False):
     if is_u:
         nx, ny = ni - 1, nj
         interior = r[1:nx, 1 : ny - 1]
-        rf = r.at[0, :].set(0.0).at[1, :].set(0.0).at[nx - 1, :].set(0.0)
-        rf = rf.at[nx, :].set(0.0).at[:, 0].set(0.0).at[:, ny - 1].set(0.0)
+        rf = jnp.where(interior_mask(r.shape, 2, 2, 1, 1), r, 0.0)
     else:
         nx, ny = ni, nj - 1
         interior = r[1 : nx - 1, 1:ny]
-        rf = r.at[:, 0].set(0.0).at[:, 1].set(0.0).at[:, ny - 1].set(0.0)
-        rf = rf.at[:, ny].set(0.0).at[0, :].set(0.0).at[nx - 1, :].set(0.0)
+        rf = jnp.where(interior_mask(r.shape, 1, 1, 2, 2), r, 0.0)
     if compensated:
         from ..ops.compensated import compensated_norm
 

@@ -210,25 +210,30 @@ def build_levels(d_u, d_v, cfg: MultigridConfig, *, dx, dy, rho, variant):
         while min(shapes[-1]) > cfg.coarsest_grid_size:
             _, _, (nxc, nyc) = _level_transfers(*shapes[-1], cfg)
             shapes.append((nxc, nyc))
-        fused_rap = False
+        rap_ok = lambda shp: False
         if (getattr(cfg, "backend", "auto") in ("auto", "pallas")
                 and len(shapes) > 1 and jax.default_backend() == "tpu"):
             from ..ops.pallas_mg import (galerkin_levels_pallas,
                                          supports_fused_rap)
 
-            fused_rap = supports_fused_rap(nx, ny, cfg, fine.c.dtype)
-        if fused_rap:
-            # entire RAP hierarchy in ONE kernel (measured 5.1 ms -> sub-ms
-            # at 63^2; see ops/pallas_mg.galerkin_levels_pallas)
-            for st, shp in zip(galerkin_levels_pallas(fine, shapes, True),
-                               shapes[1:]):
-                levels.append((st, shp, False, lam_of(st, shp)))
-        else:
-            st = fine
-            for shp_f, (nxc, nyc) in zip(shapes, shapes[1:]):
-                rf, pf, _ = _level_transfers(*shp_f, cfg)
-                st = galerkin_coarsen(st, rf, pf, nxc, nyc)
-                levels.append((st, (nxc, nyc), False, lam_of(st, (nxc, nyc))))
+            rap_ok = lambda shp: supports_fused_rap(*shp, cfg, fine.c.dtype)
+        # XLA-coarsen levels too large for the fused-RAP kernel's VMEM
+        # budget, then build the entire remaining sub-hierarchy in ONE
+        # kernel (measured 5.1 ms -> sub-ms at 63^2; the dominant lagged
+        # per-iteration cost — ops/pallas_mg.galerkin_levels_pallas)
+        st = fine
+        cur = 0
+        while cur < len(shapes) - 1 and not rap_ok(shapes[cur]):
+            rf, pf, _ = _level_transfers(*shapes[cur], cfg)
+            st = galerkin_coarsen(st, rf, pf, *shapes[cur + 1])
+            levels.append((st, shapes[cur + 1], False,
+                           lam_of(st, shapes[cur + 1])))
+            cur += 1
+        if cur < len(shapes) - 1:
+            for stc, shp in zip(
+                    galerkin_levels_pallas(st, shapes[cur:], cur == 0),
+                    shapes[cur + 1:]):
+                levels.append((stc, shp, False, lam_of(stc, shp)))
     elif cfg.coarsening == "rediscretize":
         while min(nx, ny) > cfg.coarsest_grid_size:
             d_u, d_v = restrict_d_coefficients(d_u, d_v)
@@ -287,12 +292,23 @@ def _cycle0(p, b, levels, cfg):
     """One cycle at the finest level — as the single fused Pallas kernel
     (``ops/pallas_mg.py``) when ``cfg.backend == 'pallas'`` and the
     configuration supports it on this backend, else the XLA-composed
-    :func:`_cycle`."""
+    :func:`_cycle`.  When only the finest level exceeds the VMEM budget
+    (e.g. 511^2 — measured 20.8 MB whole-hierarchy), the level-0 work
+    stays XLA and the entire TAIL (levels 1..coarsest) runs as one fused
+    kernel."""
     if cfg.backend in ("auto", "pallas") and jax.default_backend() == "tpu":
         from ..ops.pallas_mg import fused_vcycle, supports_fused
 
         if supports_fused(levels, cfg):
             return fused_vcycle(p, b, levels, cfg)
+        if len(levels) > 1 and supports_fused(levels[1:], cfg):
+            st, (nx, ny), five, lam = levels[0]
+            rf, pf, _ = _level_transfers(nx, ny, cfg)
+            p = _smooth(p, b, st, cfg, cfg.pre_smoothing, five, lam)
+            rc = rf(b - apply9(p, st))
+            ec = fused_vcycle(jnp.zeros_like(rc), rc, levels[1:], cfg)
+            p = p + pf(ec)
+            return _smooth(p, b, st, cfg, cfg.post_smoothing, five, lam)
     return _cycle(p, b, levels, 0, cfg)
 
 

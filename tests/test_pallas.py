@@ -176,3 +176,42 @@ def test_fused_mg_solve_matches_multigrid_solve():
     s = float(jnp.max(jnp.abs(p_ref))) + 1e-30
     assert d / s < 1e-4
     assert abs(float(rel) - float(info.rel_residual)) < 1e-5
+
+
+def test_fused_simple_step_matches_xla_step():
+    """ops/pallas_step.fused_simple_step == make_simple_step's XLA body
+    over chained iterations (momentum, RAP, MG solve, corrections, norms
+    all in one kernel)."""
+    import naviflow_tpu as nf
+    from naviflow_tpu.algorithms.simple import SIMPLEConfig, make_simple_step
+    from naviflow_tpu.ops.pallas_step import (fused_simple_step,
+                                              supports_fused_step)
+    from naviflow_tpu.solvers import KrylovMomentumConfig
+    from naviflow_tpu.solvers.multigrid import MultigridConfig
+
+    nx = 31
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    bc = nf.lid_driven_cavity(1.0)
+    cfg = SIMPLEConfig()
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=20)
+    pres = MultigridConfig(tolerance=1e-2, max_cycles=6, check_every=2,
+                           coarsest_sweeps=32)
+    assert supports_fused_step(nx, nx, cfg, mom, pres, jnp.float32)
+
+    dx, dy = mesh.get_cell_sizes()
+    step = make_simple_step(dx=dx, dy=dy, rho=1.0, mu=0.01, bc=bc, cfg=cfg,
+                            mom_cfg=mom, pres_cfg=pres)
+    state = nf.initialize_state(mesh, bc)
+    u, v, p = state.u, state.v, state.p
+    pm = jnp.asarray(0.0, jnp.float32)
+    for it in range(3):
+        u1, v1, p1, pm1, info = step(u, v, p, pm)
+        (u2, v2, p2, pm2, un, vn, pr, cyc, ru, rv, rp) = fused_simple_step(
+            u, v, p, pm, dx=dx, dy=dy, rho=1.0, mu=0.01, bc=bc,
+            simple_cfg=cfg, mom_cfg=mom, pres_cfg=pres, interpret=True)
+        for name, a, b2 in (("u", u1, u2), ("v", v1, v2), ("p", p1, p2)):
+            d = float(jnp.max(jnp.abs(a - b2)))
+            s = float(jnp.max(jnp.abs(a))) + 1e-30
+            assert d / s < 2e-4, (it, name, d / s)
+        assert int(cyc) == int(info.inner_iterations)
+        u, v, p, pm = u1, v1, p1, pm1
