@@ -69,23 +69,38 @@ def _padded_bytes(nx, ny):
 def _transfer_matrices(nf: int, nc: int):
     """1-D factors of the separable transfers, as numpy f32.
 
-    Returns ``(R, Rt, P, Pt)``: ``rc = R @ r @ Rt`` is full-weighting
-    restriction, ``ef = P @ ec @ Pt`` is bilinear prolongation with the
-    boundary-slab copy rows.
+    Returns ``(R, Rt, P, Pt)``: ``rc = R @ r @ Rt`` is the restriction,
+    ``ef = P @ ec @ Pt`` the prolongation.  ``nf == 2*nc + 1``: vertex
+    grids — full-weighting / bilinear with the boundary-slab copy rows of
+    ``ops/transfer.py``.  ``nf == 2*nc``: cell-centered grids — 2x2 block
+    mean / clamped bilinear of ``ops/transfer_cc.py``.
     """
-    R = np.zeros((nc, nf), np.float32)
     I = np.arange(nc)
-    R[I, 2 * I] = 0.25
-    R[I, 2 * I + 1] = 0.5
-    R[I, 2 * I + 2] = 0.25
+    if nf == 2 * nc + 1:  # vertex (odd) grids
+        R = np.zeros((nc, nf), np.float32)
+        R[I, 2 * I] = 0.25
+        R[I, 2 * I + 1] = 0.5
+        R[I, 2 * I + 2] = 0.25
 
-    P = np.zeros((nf, nc), np.float32)
-    P[2 * I + 1, I] = 1.0
-    Im = np.arange(nc - 1)
-    P[2 * Im + 2, Im] = 0.5
-    P[2 * Im + 2, Im + 1] = 0.5
-    P[0, :] = P[1, :]  # boundary slabs from the first interior line
-    P[nf - 1, :] = P[nf - 2, :]
+        P = np.zeros((nf, nc), np.float32)
+        P[2 * I + 1, I] = 1.0
+        Im = np.arange(nc - 1)
+        P[2 * Im + 2, Im] = 0.5
+        P[2 * Im + 2, Im + 1] = 0.5
+        P[0, :] = P[1, :]  # boundary slabs from the first interior line
+        P[nf - 1, :] = P[nf - 2, :]
+    elif nf == 2 * nc:  # cell-centered (even) grids
+        R = np.zeros((nc, nf), np.float32)
+        R[I, 2 * I] = 0.5
+        R[I, 2 * I + 1] = 0.5
+
+        P = np.zeros((nf, nc), np.float32)
+        P[2 * I, I] += 0.75
+        P[2 * I, np.maximum(I - 1, 0)] += 0.25  # clamped at I=0
+        P[2 * I + 1, I] += 0.75
+        P[2 * I + 1, np.minimum(I + 1, nc - 1)] += 0.25  # clamped at top
+    else:
+        raise ValueError(f"no transfer factorization for {nf} -> {nc}")
     return R, np.ascontiguousarray(R.T), P, np.ascontiguousarray(P.T)
 
 
@@ -100,13 +115,18 @@ def supports_fused(levels, cfg) -> bool:
         return False
     total = 0
     for st, (nx, ny), five, _ in levels:
-        if nx != ny or nx % 2 == 0:
+        if nx != ny:
             return False
         if st.c.dtype != jnp.float32:
             return False
         # five-point levels ship 5 stencil refs, 9-point levels 9;
         # ~3 live field temporaries either way
         total += ((5 if five else 9) + 3) * _padded_bytes(nx, ny)
+    # every transition must have a separable factorization (odd->vertex,
+    # even->cell-centered)
+    for (_, (nf, _), _, _), (_, (nc, _), _, _) in zip(levels, levels[1:]):
+        if nf not in (2 * nc, 2 * nc + 1):
+            return False
     return total <= VMEM_BUDGET_BYTES
 
 

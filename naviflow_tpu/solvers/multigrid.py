@@ -301,15 +301,36 @@ def _cycle0(p, b, levels, cfg):
 
         if supports_fused(levels, cfg):
             return fused_vcycle(p, b, levels, cfg)
-        if len(levels) > 1 and supports_fused(levels[1:], cfg):
-            st, (nx, ny), five, lam = levels[0]
-            rf, pf, _ = _level_transfers(nx, ny, cfg)
-            p = _smooth(p, b, st, cfg, cfg.pre_smoothing, five, lam)
-            rc = rf(b - apply9(p, st))
-            ec = fused_vcycle(jnp.zeros_like(rc), rc, levels[1:], cfg)
-            p = p + pf(ec)
-            return _smooth(p, b, st, cfg, cfg.post_smoothing, five, lam)
+        # peel fine levels too large for VMEM (XLA), fuse the deepest tail
+        # that fits — at 1024^2+ the sub-256^2 tail is where the dispatch
+        # overhead concentrates
+        k = next((k for k in range(1, len(levels))
+                  if supports_fused(levels[k:], cfg)), None)
+        if k is not None and cfg.cycle_type == "v":
+            return _peeled_cycle(
+                p, b, levels, cfg, k,
+                lambda e0, rc: fused_vcycle(e0, rc, levels[k:], cfg))
     return _cycle(p, b, levels, 0, cfg)
+
+
+def _peeled_cycle(p, b, levels, cfg, k: int, tail_fn):
+    """V-cycle with levels 0..k-1 composed in XLA and the remaining tail
+    delegated to ``tail_fn(e0, rc)`` — the fused kernel on TPU (injectable
+    for equivalence tests)."""
+    carry, bs = [], [b]
+    for lvl in range(k):
+        st, (nx, ny), five, lam = levels[lvl]
+        rf, pf, _ = _level_transfers(nx, ny, cfg)
+        x0 = p if lvl == 0 else jnp.zeros_like(bs[-1])
+        x = _smooth(x0, bs[-1], st, cfg, cfg.pre_smoothing, five, lam)
+        carry.append((x, pf, st, five, lam))
+        bs.append(rf(bs[-1] - apply9(x, st)))
+    ec = tail_fn(jnp.zeros_like(bs[-1]), bs[-1])
+    for lvl in reversed(range(k)):
+        x, pf, st, five, lam = carry[lvl]
+        x = x + pf(ec)
+        ec = _smooth(x, bs[lvl], st, cfg, cfg.post_smoothing, five, lam)
+    return ec
 
 
 def _fmg(b, levels, cfg):

@@ -215,3 +215,28 @@ def test_fused_simple_step_matches_xla_step():
             assert d / s < 2e-4, (it, name, d / s)
         assert int(cyc) == int(info.inner_iterations)
         u, v, p, pm = u1, v1, p1, pm1
+
+
+def test_fused_vcycle_cell_centered_matches_xla():
+    """Even (2^k) grids: cell-centered transfer factorization in the fused
+    kernel matches the XLA restrict_cc/prolong_cc cycle."""
+    from naviflow_tpu.ops.pallas_mg import fused_vcycle, supports_fused
+    from naviflow_tpu.solvers.multigrid import (MultigridConfig, _cycle,
+                                                build_levels)
+
+    nx = 32
+    d_u = jnp.asarray((RNG.random((nx + 1, nx)) + 0.5).astype(np.float32))
+    d_v = jnp.asarray((RNG.random((nx, nx + 1)) + 0.5).astype(np.float32))
+    b = jnp.asarray(RNG.normal(size=(nx, nx)).astype(np.float32))
+    b = b - jnp.mean(b)
+    cfg = MultigridConfig(coarsest_sweeps=16)
+    levels = build_levels(d_u, d_v, cfg, dx=1.0 / nx, dy=1.0 / nx, rho=1.0,
+                          variant="consistent")
+    assert supports_fused(levels, cfg)
+    p = jnp.zeros((nx, nx), jnp.float32)
+    for _ in range(2):
+        ref = _cycle(p, b, levels, 0, cfg)
+        fus = fused_vcycle(p, b, levels, cfg, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+        assert float(jnp.max(jnp.abs(ref - fus))) / scale < 1e-5
+        p = ref
