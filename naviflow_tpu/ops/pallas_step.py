@@ -27,7 +27,6 @@ same shared functions.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
