@@ -213,7 +213,17 @@ def smooth_v(p, b, S, n, five, omega):
 
 
 def mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    """In-kernel matmul at FULL f32 precision.
+
+    The MXU's default f32 mode multiplies in bf16; the Galerkin comb
+    recovery depends on near-cancellation of stencil row sums, and the
+    default precision was measured to corrupt coarse operators
+    progressively down a 255^2 hierarchy (0.7% at 127^2 compounding to
+    86% at 7^2 — enough to make coarse smoothing non-contractive and NaN
+    a Re=1000 solve).  HIGHEST runs the 6-pass bf16 decomposition; these
+    matmuls are tiny, so the cost is negligible."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def vcycle_value(p, b, stencils, trans, meta, cfg, lvl: int = 0):

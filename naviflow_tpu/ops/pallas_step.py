@@ -70,7 +70,13 @@ def supports_fused_step(nx, ny, simple_cfg, mom_cfg, pres_cfg, dtype) -> bool:
     if not supports_fused(fake_levels, pres_cfg):
         return False
     # hierarchy + ~30 step-level field temporaries (u/v/p, 2x coefficient
-    # sets, Krylov vectors, RAP chain) at the fine shape
+    # sets, Krylov vectors, RAP chain) at the fine shape.  A 255^2 step
+    # COMPILES (Mosaic's liveness scheduling beats this naive estimate)
+    # but was measured to creep at ~3.5e-5 outer residual instead of
+    # converging to 1e-5 — the in-kernel sequential reductions lose
+    # accuracy on ~64k-element norms, weakening the inner stopping tests.
+    # 63^2/127^2 converge identically to the XLA path, so the budget stays
+    # at the shared 8 MB, which admits exactly those.
     total = 30 * _padded_bytes(nx, ny)
     for lvl, (snx, sny) in enumerate(shapes):
         total += ((5 if lvl == 0 else 9) + 3) * _padded_bytes(snx, sny)
