@@ -71,15 +71,25 @@ def default_loop_mode() -> str:
     return "fused"
 
 
-def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: str):
-    """Return solve(u0, v0, p0) for the requested loop mode."""
+def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: str,
+                 refresh_step=None, refresh_every: int = 0):
+    """Return solve(u0, v0, p0) for the requested loop mode.
+
+    ``refresh_step``/``refresh_every``: optional periodic-variant step (the
+    lagged-multigrid rebuild, ``algorithms.lagged``) run unconditionally as
+    the first iteration of every ``refresh_every``-iteration block — the
+    conditional-free form of the per-step ``lax.cond`` cadence (which XLA
+    executed near-unconditionally inside while loops; measured 4.7 ms/iter
+    of untaken-branch cost at 1024^2)."""
     if loop == "auto":
         loop = default_loop_mode()
+    periodic = dict(refresh_step=refresh_step, refresh_every=refresh_every)
     if loop == "fused":
         jitted = jax.jit(
             lambda u0, v0, p0: run_outer_loop(
                 step, u0, v0, p0, extra0_fn(u0.dtype),
                 max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
+                **periodic,
             )
         )
 
@@ -95,6 +105,7 @@ def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: st
             return run_outer_loop_host(
                 step, u0, v0, p0, extra0_fn(u0.dtype),
                 max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
+                **periodic,
             )
         return solve
     if loop.startswith("chunked"):
@@ -103,7 +114,7 @@ def build_solver(step, *, max_iterations, tolerance, dx, dy, extra0_fn, loop: st
             return run_outer_loop_chunked(
                 step, u0, v0, p0, extra0_fn(u0.dtype),
                 max_iterations=max_iterations, tolerance=tolerance, dx=dx, dy=dy,
-                chunk=chunk, on_chunk=on_chunk,
+                chunk=chunk, on_chunk=on_chunk, **periodic,
             )
         return solve
     raise ValueError(f"Unknown loop mode: {loop}")
@@ -188,9 +199,15 @@ def run_outer_loop(
     tolerance: float,
     dx: float,
     dy: float,
+    refresh_step=None,
+    refresh_every: int = 0,
 ):
     """Run ``step`` to convergence inside a single ``lax.while_loop``
-    (the fully fused form — one XLA program for the whole solve)."""
+    (the fully fused form — one XLA program for the whole solve).
+
+    With ``refresh_step``: nested loops — every outer trip runs one
+    ``refresh_step`` iteration followed by up to ``refresh_every - 1``
+    plain iterations, preserving the per-iteration convergence check."""
     n = max_iterations
     carry0 = init_carry(u0, v0, p0, extra0, n)
     body = make_body(step)
@@ -198,7 +215,22 @@ def run_outer_loop(
     def cond(c):
         return (c["it"] < n) & (c["total"] > tolerance)
 
-    c = jax.lax.while_loop(cond, body, carry0)
+    if refresh_step is None:
+        c = jax.lax.while_loop(cond, body, carry0)
+        return finalize(c, tolerance=tolerance, dx=dx, dy=dy)
+
+    body_r = make_body(refresh_step)
+
+    def outer_body(c):
+        c = body_r(c)
+        limit = jnp.minimum(c["it"] + (refresh_every - 1), n)
+
+        def icond(c):
+            return (c["it"] < limit) & (c["total"] > tolerance)
+
+        return jax.lax.while_loop(icond, body, c)
+
+    c = jax.lax.while_loop(cond, outer_body, carry0)
     return finalize(c, tolerance=tolerance, dx=dx, dy=dy)
 
 
@@ -243,6 +275,8 @@ def run_outer_loop_chunked(
     dy: float,
     chunk: int = 400,
     on_chunk=None,
+    refresh_step=None,
+    refresh_every: int = 0,
 ):
     """Fused chunks of up to ``chunk`` iterations with a host convergence
     check in between.
@@ -260,6 +294,7 @@ def run_outer_loop_chunked(
     """
     n = max_iterations
     body = make_body(step)
+    body_r = make_body(refresh_step) if refresh_step is not None else None
 
     # the carry is donated: at 2048^2 it is ~20 fields' worth of HBM, and
     # every chunk would otherwise copy all of them (ROADMAP #5)
@@ -271,7 +306,22 @@ def run_outer_loop_chunked(
         def cond(c):
             return (c["it"] < limit) & (c["total"] > tolerance)
 
-        return jax.lax.while_loop(cond, body, c)
+        if body_r is None:
+            return jax.lax.while_loop(cond, body, c)
+
+        # refresh at the chunk start and every refresh_every iterations
+        # within it (chunks not divisible by the cadence refresh slightly
+        # more often than every K — never less)
+        def outer_body(c):
+            c = body_r(c)
+            ilimit = jnp.minimum(c["it"] + (refresh_every - 1), limit)
+
+            def icond(c):
+                return (c["it"] < ilimit) & (c["total"] > tolerance)
+
+            return jax.lax.while_loop(icond, body, c)
+
+        return jax.lax.while_loop(cond, outer_body, c)
 
     fin = jax.jit(lambda c: finalize(c, tolerance=tolerance, dx=dx, dy=dy))
     c = init_carry(u0, v0, p0, extra0, n)
@@ -304,6 +354,8 @@ def run_outer_loop_host(
     dx: float,
     dy: float,
     check_every: int = 10,
+    refresh_step=None,
+    refresh_every: int = 0,
 ):
     """Host-driven outer loop: the per-iteration body is one jitted program;
     the host enqueues ``check_every`` steps at a time (JAX async dispatch
@@ -317,6 +369,8 @@ def run_outer_loop_host(
     """
     n = max_iterations
     body = jax.jit(make_body(step), donate_argnums=0)
+    body_r = (jax.jit(make_body(refresh_step), donate_argnums=0)
+              if refresh_step is not None else None)
     fin = jax.jit(
         lambda c: finalize(c, tolerance=tolerance, dx=dx, dy=dy)
     )
@@ -326,8 +380,11 @@ def run_outer_loop_host(
     detector = _StallDetector(sample_every=check_every)
     while done < n:
         k = min(check_every, n - done)
-        for _ in range(k):
-            c = body(c)
+        for i in range(k):
+            if body_r is not None and (done + i) % refresh_every == 0:
+                c = body_r(c)
+            else:
+                c = body(c)
         done += k
         total = float(c["total"])
         if total <= tolerance:

@@ -51,8 +51,8 @@ def _extra0(algorithm, cfg, pres_cfg, dt, nx, ny, *, dx, dy, rho):
     else:
         base = (jnp.asarray(0.0, dt),)
     if uses_lagged_mg(pres_cfg):
-        _, _, mg0 = make_lagged_mg(pres_cfg, dx=dx, dy=dy, rho=rho,
-                                   variant=cfg.poisson_variant)
+        mg0 = make_lagged_mg(pres_cfg, dx=dx, dy=dy, rho=rho,
+                             variant=cfg.poisson_variant).extra0
         return base + (mg0(dt, nx, ny),)
     return base[0] if len(base) == 1 else base
 
@@ -79,14 +79,20 @@ def batched_cavity_solve(
     mus = jnp.asarray([rho * 1.0 * 1.0 / re for re in reynolds], dtype)
 
     def one(u0, v0, p0, mu):
-        step = make_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
-                         mom_cfg=momentum, pres_cfg=pressure)
+        common = dict(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
+                      mom_cfg=momentum, pres_cfg=pressure)
+        step = make_step(**common)
+        refresh_step, refresh_every = None, 0
+        if uses_lagged_mg(pressure):
+            refresh_step = make_step(**common, coarse_mode="rebuild")
+            refresh_every = pressure.coarse_rebuild_every
         extra0 = _extra0(algorithm, cfg, pressure, dtype, nx, ny,
                          dx=dx, dy=dy, rho=rho)
         return run_outer_loop(
             step, u0, v0, p0, extra0,
             max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
             dx=dx, dy=dy,
+            refresh_step=refresh_step, refresh_every=refresh_every,
         )
 
     s0 = initialize_state(mesh, bc, dtype=dtype)

@@ -35,22 +35,34 @@ from .simple import SIMPLEConfig
 class PISOConfig(SIMPLEConfig):
     n_corrections: int = 2
     # Momentum re-solve between corrections (reference :90-103) is
-    # *unrelaxed* (alpha=1).  For steady problems an exact unrelaxed solve
-    # destabilizes the outer iteration (alpha_u=1 divergence); the reference
-    # survives because its re-solve is effectively a gentle approximate
-    # update.  We make that explicit: a fixed small number of Jacobi sweeps.
+    # *unrelaxed* (alpha=1).  ``corrector`` selects the re-solve flavor:
+    #
+    # * 'jacobi' (default): ``corrector_sweeps`` fixed Jacobi sweeps — a
+    #   gentle approximate update.  For steady problems an *exact* unrelaxed
+    #   re-solve destabilizes the outer iteration; measured
+    #   (tests/test_algorithms.py::test_piso_exact_corrector_documented):
+    #   at 31^2 Re=100 the exact corrector diverges to NaN within ~26
+    #   outer iterations while the Jacobi corrector converges to 1e-5 in
+    #   109 (the reference's own time-marching context, where alpha=1
+    #   re-solves are standard, does not arise in these steady solves).
+    # * 'exact': the reference's literal scheme — re-solve with the
+    #   *configured* momentum solver, unrelaxed (parity option;
+    #   reference ``piso.py:90-103``).
+    corrector: str = "jacobi"
     corrector_sweeps: int = 1
 
 
-def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
+def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg,
+                   coarse_mode: str = "carry"):
     pin = cfg.poisson_variant == "reference"
     lagged = uses_lagged_mg(pres_cfg)
     if lagged:
-        refresh, lag_solve, _ = make_lagged_mg(
+        lg = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
         )
 
-    corrector_cfg = JacobiMomentumConfig(n_sweeps=cfg.corrector_sweeps)
+    corrector_cfg = (mom_cfg if cfg.corrector == "exact"
+                     else JacobiMomentumConfig(n_sweeps=cfg.corrector_sweeps))
 
     def solve_momentum(u, v, p, alpha, solver_cfg):
         u_star, d_u, r_u, u_norm = solve_u_momentum(
@@ -66,7 +78,7 @@ def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
         pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
         if lagged:
-            return lag_solve(b, pc, d_u, d_v, p, coarse)
+            return lg.solve(b, pc, d_u, d_v, p, coarse)
         return dispatch_pressure_solve(
             b, pc, jnp.zeros_like(p), pres_cfg,
             d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
@@ -84,7 +96,8 @@ def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
         )
         # one coarse hierarchy per outer iteration, shared by all
         # correction passes (the fine operator is always current)
-        coarse = refresh(d_u, d_v, mg_extra) if lagged else None
+        coarse = ((lg.rebuild(d_u, d_v) if coarse_mode == "rebuild"
+                   else mg_extra[1]) if lagged else None)
         inner_total = jnp.asarray(0, jnp.int32)
         p_l2 = jnp.asarray(0.0, p.dtype)
         for k in range(cfg.n_corrections):
@@ -116,19 +129,24 @@ def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg):
 def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
     dx, dy = mesh.get_cell_sizes()
     rho, mu = fluid.get_density(), fluid.get_viscosity()
-    step = make_piso_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
-                          mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    common = dict(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
+                  mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    step = make_piso_step(**common)
+    refresh_step, refresh_every = None, 0
     if uses_lagged_mg(pres_cfg):
         nx, ny = mesh.get_dimensions()
-        _, _, mg_extra0 = make_lagged_mg(
+        mg_extra0 = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
-        )
+        ).extra0
         extra0_fn = lambda dt: (jnp.asarray(0.0, dt), mg_extra0(dt, nx, ny))
+        refresh_step = make_piso_step(**common, coarse_mode="rebuild")
+        refresh_every = pres_cfg.coarse_rebuild_every
     else:
         extra0_fn = lambda dt: jnp.asarray(0.0, dt)
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
         dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,
+        refresh_step=refresh_step, refresh_every=refresh_every,
     )
 
 

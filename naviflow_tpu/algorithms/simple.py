@@ -60,18 +60,23 @@ class SIMPLEConfig:
     overwrite_boundary_pressure: bool = False
 
 
-def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
+def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
+                     coarse_mode: str = "carry"):
     """One SIMPLE outer iteration as a pure function (u, v, p, extra) ->.
 
     ``extra`` is the pressure rel-norm running max; with a lagged-multigrid
     pressure config it additionally carries (age, coarse Stencil9 tuple) so
-    the Galerkin coarse hierarchy — ~30% of the step cost — is rebuilt only
-    every ``coarse_rebuild_every`` iterations (see ``algorithms.lagged``).
+    the Galerkin coarse hierarchy is rebuilt only every
+    ``coarse_rebuild_every`` iterations (see ``algorithms.lagged``).
+    ``coarse_mode``: 'carry' uses the carried coarse hierarchy; 'rebuild'
+    rebuilds it from this iteration's d-coefficients — the loop harness runs
+    the 'rebuild' variant as the first iteration of every K-block
+    (conditional-free lagging; ignored for non-lagged configs).
     """
     pin = cfg.poisson_variant == "reference"
     lagged = uses_lagged_mg(pres_cfg)
     if lagged:
-        refresh, lag_solve, _ = make_lagged_mg(
+        lg = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
         )
 
@@ -125,8 +130,9 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
         pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
         if lagged:
-            coarse = refresh(d_u, d_v, mg_extra)
-            p_prime, pinfo = lag_solve(b, pc, d_u, d_v, p, coarse)
+            coarse = (lg.rebuild(d_u, d_v) if coarse_mode == "rebuild"
+                      else mg_extra[1])
+            p_prime, pinfo = lg.solve(b, pc, d_u, d_v, p, coarse)
         else:
             p_prime, pinfo = dispatch_pressure_solve(
                 b, pc, jnp.zeros_like(p), pres_cfg,
@@ -164,21 +170,24 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg):
 def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
     dx, dy = mesh.get_cell_sizes()
     rho, mu = fluid.get_density(), fluid.get_viscosity()
-    step = make_simple_step(
-        dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
-        mom_cfg=mom_cfg, pres_cfg=pres_cfg,
-    )
+    common = dict(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
+                  mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    step = make_simple_step(**common)
+    refresh_step, refresh_every = None, 0
     if uses_lagged_mg(pres_cfg):
         nx, ny = mesh.get_dimensions()
-        _, _, mg_extra0 = make_lagged_mg(
+        mg_extra0 = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
-        )
+        ).extra0
         extra0_fn = lambda dt: (jnp.asarray(0.0, dt), mg_extra0(dt, nx, ny))
+        refresh_step = make_simple_step(**common, coarse_mode="rebuild")
+        refresh_every = pres_cfg.coarse_rebuild_every
     else:
         extra0_fn = lambda dt: jnp.asarray(0.0, dt)
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
         dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,
+        refresh_step=refresh_step, refresh_every=refresh_every,
     )
 
 

@@ -64,11 +64,12 @@ def _smooth_p_prime(p_prime):
     return sm
 
 
-def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_cfg):
+def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_cfg,
+                      coarse_mode: str = "carry"):
     pin = cfg.poisson_variant == "reference"
     lagged = uses_lagged_mg(pres_cfg)
     if lagged:
-        refresh, lag_solve, _ = make_lagged_mg(
+        lg = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
         )
 
@@ -95,8 +96,9 @@ def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_
         pc = poisson_coefficients(d_u_c, d_v_c, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
         if lagged:
-            coarse = refresh(d_u_c, d_v_c, mg_extra)
-            p_prime, pinfo = lag_solve(b, pc, d_u_c, d_v_c, p, coarse)
+            coarse = (lg.rebuild(d_u_c, d_v_c) if coarse_mode == "rebuild"
+                      else mg_extra[1])
+            p_prime, pinfo = lg.solve(b, pc, d_u_c, d_v_c, p, coarse)
         else:
             p_prime, pinfo = dispatch_pressure_solve(
                 b, pc, jnp.zeros_like(p), pres_cfg,
@@ -140,21 +142,26 @@ def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_
 def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
     dx, dy = mesh.get_cell_sizes()
     rho, mu = fluid.get_density(), fluid.get_viscosity()
-    step = make_simplec_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
-                             mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    common = dict(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
+                  mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    step = make_simplec_step(**common)
+    refresh_step, refresh_every = None, 0
     if uses_lagged_mg(pres_cfg):
         nx, ny = mesh.get_dimensions()
-        _, _, mg_extra0 = make_lagged_mg(
+        mg_extra0 = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
-        )
+        ).extra0
         extra0_fn = lambda dt: (jnp.asarray(cfg.alpha_p, dt),
                                 jnp.asarray(jnp.inf, dt), mg_extra0(dt, nx, ny))
+        refresh_step = make_simplec_step(**common, coarse_mode="rebuild")
+        refresh_every = pres_cfg.coarse_rebuild_every
     else:
         extra0_fn = lambda dt: (jnp.asarray(cfg.alpha_p, dt),
                                 jnp.asarray(jnp.inf, dt))
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
         dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,
+        refresh_step=refresh_step, refresh_every=refresh_every,
     )
 
 

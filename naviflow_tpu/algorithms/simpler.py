@@ -42,11 +42,12 @@ class SIMPLERConfig(SIMPLEConfig):
     pass
 
 
-def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_cfg):
+def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_cfg,
+                      coarse_mode: str = "carry"):
     pin = cfg.poisson_variant == "reference"
     lagged = uses_lagged_mg(pres_cfg)
     if lagged:
-        refresh, lag_solve, _ = make_lagged_mg(
+        lg = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
         )
 
@@ -64,7 +65,7 @@ def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_
         pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
                                   variant=cfg.poisson_variant)
         if lagged:
-            return lag_solve(b, pc, d_u, d_v, p, coarse)
+            return lg.solve(b, pc, d_u, d_v, p, coarse)
         return dispatch_pressure_solve(
             b, pc, jnp.zeros_like(p), pres_cfg,
             d_u=d_u, d_v=d_v, dx=dx, dy=dy, rho=rho,
@@ -82,7 +83,8 @@ def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_
         # one coarse hierarchy per outer iteration, shared by both pressure
         # solves (the d-fields barely change between them; the fine operator
         # is always current so both fixed points stay exact)
-        coarse = refresh(d_u, d_v, mg_extra) if lagged else None
+        coarse = ((lg.rebuild(d_u, d_v) if coarse_mode == "rebuild"
+                   else mg_extra[1]) if lagged else None)
         # 2. intermediate pressure p_bar
         p_bar, info1 = pressure_solve(u_star, v_star, d_u, d_v, p, coarse)
         p = p + p_bar
@@ -116,19 +118,24 @@ def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_
 def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
     dx, dy = mesh.get_cell_sizes()
     rho, mu = fluid.get_density(), fluid.get_viscosity()
-    step = make_simpler_step(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
-                             mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    common = dict(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
+                  mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+    step = make_simpler_step(**common)
+    refresh_step, refresh_every = None, 0
     if uses_lagged_mg(pres_cfg):
         nx, ny = mesh.get_dimensions()
-        _, _, mg_extra0 = make_lagged_mg(
+        mg_extra0 = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
-        )
+        ).extra0
         extra0_fn = lambda dt: (jnp.asarray(0.0, dt), mg_extra0(dt, nx, ny))
+        refresh_step = make_simpler_step(**common, coarse_mode="rebuild")
+        refresh_every = pres_cfg.coarse_rebuild_every
     else:
         extra0_fn = lambda dt: jnp.asarray(0.0, dt)
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
         dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,
+        refresh_step=refresh_step, refresh_every=refresh_every,
     )
 
 

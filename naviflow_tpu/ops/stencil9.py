@@ -95,6 +95,29 @@ def apply9(x, st: Stencil9):
     )
 
 
+def apply5(x, st: Stencil9):
+    """Apply a Stencil9 whose corner entries are known-zero (the 5-point
+    finest level, ``from_poisson``).  The corner arrays are runtime zeros
+    XLA cannot eliminate; skipping them cuts the HBM traffic of the
+    dominant fine-level ops by ~1/3 at bandwidth-bound sizes.  Summation
+    order matches :func:`apply9`'s first five terms, so results are
+    bit-identical (adding an exact +0.0 never changes a finite f32 sum)."""
+    return (
+        st.c * x
+        + st.e * shift_e(x)
+        + st.w * shift_w(x)
+        + st.n * shift_n(x)
+        + st.s * shift_s(x)
+    )
+
+
+def apply_five(x, st: Stencil9, five_point: bool):
+    """Dispatch on the trace-time ``five_point`` flag carried by multigrid
+    levels: 5-point fast path on the finest (from_poisson) level, full
+    9-point on Galerkin coarse levels."""
+    return apply5(x, st) if five_point else apply9(x, st)
+
+
 def _comb(shape, a, b, dtype):
     """Unit comb: ones at cells with (i % 3, j % 3) == (a, b)."""
     ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -113,6 +136,29 @@ _OFFSET_NAMES = {
     (1, -1): "se",
     (-1, -1): "sw",
 }
+
+
+def comb_select(images, ii, jj, di: int, dj: int):
+    """Read the comb image value for neighbor offset (di, dj) at each cell:
+    ``images[(ii+di)%3, (jj+dj)%3, local_cell]`` — without a gather.
+
+    The naive advanced-indexing form lowers to ``gather``, which TPUs
+    execute catastrophically (measured: the gather-based RAP rebuild at
+    1024^2 cost 4.5 ms against a sub-ms roofline, round-3 profiling).
+    Cell (i, j) needs image class ``((ii+di)%3, (jj+dj)%3)``; that equals
+    (a, b) exactly where ``ii%3 == (a-di)%3`` and ``jj%3 == (b-dj)%3``, so
+    nine masked selects recover the same elements bit-for-bit.
+
+    ``images``: (3, 3, m, n); ``ii``, ``jj``: (m, n) global index iotas.
+    """
+    mi = [(ii % 3) == r for r in range(3)]
+    mj = [(jj % 3) == r for r in range(3)]
+    val = jnp.zeros(images.shape[2:], images.dtype)
+    for a in range(3):
+        for b in range(3):
+            m = mi[(a - di) % 3] & mj[(b - dj) % 3]
+            val = jnp.where(m, images[a, b], val)
+    return val
 
 
 def galerkin_coarsen(st: Stencil9, restrict_fn, prolong_fn, nxc: int, nyc: int) -> Stencil9:
@@ -139,10 +185,8 @@ def galerkin_coarsen(st: Stencil9, restrict_fn, prolong_fn, nxc: int, nyc: int) 
     entries = {}
     for (di, dj), name in _OFFSET_NAMES.items():
         # neighbor (I+di, J+dj) belongs to comb class ((I+di)%3, (J+dj)%3);
-        # select the matching image value per cell
-        a_idx = (ii + di) % 3
-        b_idx = (jj + dj) % 3
-        val = images[a_idx, b_idx, ii, jj]
+        # select the matching image value per cell (gather-free)
+        val = comb_select(images, ii, jj, di, dj)
         # zero entries that reach outside the coarse grid
         inside = (
             (ii + di >= 0) & (ii + di <= nxc - 1) & (jj + dj >= 0) & (jj + dj <= nyc - 1)

@@ -16,8 +16,16 @@ Semantics preserved:
 * harmonic-mean d-coefficient restriction with the 0.25 Poisson rescale and
   boundary injection (reference :196-329).
 
-Everything is whole-array strided slicing — no gathers — which XLA lowers to
-cheap reshapes/reductions on TPU.
+TPU form (round-3 rewrite): every transfer here is a separable tensor
+product of 1-D operators, applied as an axis-0 (sublane) strided op plus a
+transpose sandwich for axis 1.  Minor-axis strided slicing and
+``.at[::2].set`` interleaves force lane shuffles / scatters that TPU lowers
+catastrophically (measured 12-196 ms per restrict+prolong pair at
+1024^2-4096^2, ``benchmarks/transfer_variants.py``); the sandwich form is
+0.024-1.6 ms — it is what keeps the odd-grid (511^2) fine levels off the
+scatter path.  Boundary-slab copying folds into the 1-D operators (first /
+last fine row equals the adjacent interior row, which is exactly the
+coarse endpoint), so results match the reference construction.
 """
 
 from __future__ import annotations
@@ -29,51 +37,45 @@ def coarse_size(nf: int) -> int:
     return (nf - 1) // 2
 
 
+def _interleave_ax0(a, b):
+    """Rows a[0], b[0], a[1], b[1], ... (axis-0 interleave, sublane only)."""
+    return jnp.stack([a, b], axis=1).reshape(2 * a.shape[0], a.shape[1])
+
+
 def restrict_inject(fine):
     """Injection at odd indices (reference :8-21)."""
-    return fine[1::2, 1::2]
+    t = fine[1::2]
+    return (t.T[1::2]).T
+
+
+def _fw_ax0(y):
+    """(nf, n) -> (nc, n) full-weighting rows: 1/4 y[2I] + 1/2 y[2I+1] +
+    1/4 y[2I+2]."""
+    return 0.25 * y[0:-2:2] + 0.5 * y[1::2] + 0.25 * y[2::2]
 
 
 def restrict_full_weighting(fine):
-    """h^2-scaled full-weighting restriction (reference :23-70)."""
-    c = fine[1:-1:2, 1:-1:2]
-    n = fine[1:-1:2, 2::2]
-    s = fine[1:-1:2, :-2:2]
-    e = fine[2::2, 1:-1:2]
-    w = fine[:-2:2, 1:-1:2]
-    ne = fine[2::2, 2::2]
-    nw = fine[:-2:2, 2::2]
-    se = fine[2::2, :-2:2]
-    sw = fine[:-2:2, :-2:2]
-    return c / 4.0 + (n + s + e + w) / 8.0 + (ne + nw + se + sw) / 16.0
+    """h^2-scaled full-weighting restriction (reference :23-70): tensor
+    product of per-axis (1/4, 1/2, 1/4) stencils — center 1/4, edges 1/8,
+    corners 1/16, identical weights to the reference's 2-D form."""
+    return _fw_ax0(_fw_ax0(fine).T).T
+
+
+def _linear_ax0(c):
+    """(nc, n) -> (2nc+1, n) vertex bilinear rows: fine row 2I+1 = c[I],
+    row 2I+2 = midpoint, rows 0 / nf-1 = boundary copies of the adjacent
+    interior row (= c[0] / c[-1])."""
+    mid = 0.5 * (c[:-1] + c[1:])
+    midext = jnp.concatenate([mid, c[-1:]], 0)
+    return jnp.concatenate([c[:1], _interleave_ax0(c, midext)], 0)
 
 
 def prolong_linear(coarse, mx: int, my: int):
     """Bilinear prolongation to an (mx, my) fine grid (reference :73-192):
     injection at (2I+1, 2J+1), edge/face averages between, boundary slabs
     copied from the first interior line, corners from the diagonal."""
-    fine = jnp.zeros((mx, my), coarse.dtype)
-    # coincident points
-    fine = fine.at[1::2, 1::2].set(coarse)
-    # between coarse points in i (fine rows 2I+2)
-    fine = fine.at[2:-1:2, 1::2].set(0.5 * (coarse[:-1, :] + coarse[1:, :]))
-    # between coarse points in j (fine cols 2J+2)
-    fine = fine.at[1::2, 2:-1:2].set(0.5 * (coarse[:, :-1] + coarse[:, 1:]))
-    # cell-diagonal points
-    fine = fine.at[2:-1:2, 2:-1:2].set(
-        0.25
-        * (coarse[:-1, :-1] + coarse[1:, :-1] + coarse[:-1, 1:] + coarse[1:, 1:])
-    )
-    # boundary slabs from first interior line (reference :173-186)
-    fine = fine.at[1:-1, 0].set(fine[1:-1, 1])
-    fine = fine.at[1:-1, -1].set(fine[1:-1, -2])
-    fine = fine.at[0, 1:-1].set(fine[1, 1:-1])
-    fine = fine.at[-1, 1:-1].set(fine[-2, 1:-1])
-    fine = fine.at[0, 0].set(fine[1, 1])
-    fine = fine.at[0, -1].set(fine[1, -2])
-    fine = fine.at[-1, 0].set(fine[-2, 1])
-    fine = fine.at[-1, -1].set(fine[-2, -2])
-    return fine
+    del mx, my  # implied by the coarse shape: nf = 2 nc + 1
+    return _linear_ax0(_linear_ax0(coarse).T).T
 
 
 def _cubic_midpoints(c):
@@ -83,15 +85,15 @@ def _cubic_midpoints(c):
     lin = 0.5 * (c[:-1] + c[1:])
     if c.shape[0] >= 4:
         cub = (-c[:-3] + 9.0 * c[1:-2] + 9.0 * c[2:-1] - c[3:]) / 16.0
-        return lin.at[1:-1].set(cub)
+        return jnp.concatenate([lin[:1], cub, lin[-1:]], 0)
     return lin
 
 
-def _prolong_cubic_axis0(c, m: int):
-    out = jnp.zeros((m,) + c.shape[1:], c.dtype)
-    out = out.at[1::2].set(c)
-    out = out.at[2:-1:2].set(_cubic_midpoints(c))
-    return out
+def _cubic_ax0(c):
+    """(nc, n) -> (2nc+1, n) cubic rows, same layout as :func:`_linear_ax0`
+    with Catmull-Rom midpoints."""
+    midext = jnp.concatenate([_cubic_midpoints(c), c[-1:]], 0)
+    return jnp.concatenate([c[:1], _interleave_ax0(c, midext)], 0)
 
 
 def prolong_cubic(coarse, mx: int, my: int):
@@ -109,17 +111,8 @@ def prolong_cubic(coarse, mx: int, my: int):
     column support breaks the 3-strided comb recovery of the Galerkin RAP
     (``ops/stencil9.galerkin_coarsen``).
     """
-    t = _prolong_cubic_axis0(coarse, mx)
-    fine = jnp.swapaxes(_prolong_cubic_axis0(jnp.swapaxes(t, 0, 1), my), 0, 1)
-    fine = fine.at[1:-1, 0].set(fine[1:-1, 1])
-    fine = fine.at[1:-1, -1].set(fine[1:-1, -2])
-    fine = fine.at[0, 1:-1].set(fine[1, 1:-1])
-    fine = fine.at[-1, 1:-1].set(fine[-2, 1:-1])
-    fine = fine.at[0, 0].set(fine[1, 1])
-    fine = fine.at[0, -1].set(fine[1, -2])
-    fine = fine.at[-1, 0].set(fine[-2, 1])
-    fine = fine.at[-1, -1].set(fine[-2, -2])
-    return fine
+    del mx, my  # implied by the coarse shape: nf = 2 nc + 1
+    return _cubic_ax0(_cubic_ax0(coarse).T).T
 
 
 def _harmonic_pair(d1, d2):
