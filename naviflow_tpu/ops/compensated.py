@@ -92,9 +92,86 @@ def residual_5pt(x, src, a_e, a_w, a_n, a_s, a_p, shifts):
 
 
 def compensated_norm(x):
-    """L2 norm with exact squaring + compensated accumulation."""
-    p, e = two_prod(x, x)
-    # Neumaier-style: sum hi and lo parts separately (the lo parts are
-    # ~2^-24 of the his, so a plain sum of each is enough)
-    s = jnp.sum(p, dtype=p.dtype) + jnp.sum(e, dtype=e.dtype)
-    return jnp.sqrt(s)
+    """L2 norm with exact squaring + compensated pairwise accumulation
+    (:func:`fold_dot`; also Mosaic-lowerable for in-kernel use)."""
+    return jnp.sqrt(fold_dot(x, x))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel (Mosaic-lowerable) compensated reductions
+#
+# Why these exist: the fused whole-algorithm kernels compute their stopping
+# tests and Krylov dots with in-kernel reductions.  Mosaic's `jnp.sum` of a
+# 255^2 f32 array loses enough accuracy (O(n*eps) worst case on 64k
+# elements) that the fused SIMPLE step at 255^2 creeped at ~3.5e-5 instead
+# of converging to 1e-5 (round-2 limitation, pallas_step.py).  XLA's tree
+# reductions on the host path don't have the problem, so fused and XLA
+# iteration counts also drift apart.
+#
+# `fold_sum` is a PAIRWISE sum with an explicit compensation channel: each
+# halving fold is a vectorized `two_sum` whose rounding errors accumulate in
+# a side array folded alongside (the carries are O(eps) of the data, so
+# plain adds on the error channel contribute only O(eps^2)).  The result
+# matches the exact sum to a couple of ulps — accuracy-equivalent to f64
+# accumulation for f32 data — in log2(n) vector ops, all static slices
+# (Mosaic lowers those; no scatter, no dynamic shapes).
+# ---------------------------------------------------------------------------
+
+
+def _mask_overlap(b, axis, n_overlap):
+    """Zero the first ``n_overlap`` rows/cols of ``b`` (exact operation —
+    iota-mask ``where``, the Mosaic-lowerable form; ``jnp.pad`` of odd
+    shapes fails to lower in-kernel: 'offset mismatch on non-concat
+    dimension')."""
+    import jax
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, b.shape, axis)
+    return jnp.where(idx >= n_overlap, b, jnp.zeros_like(b))
+
+
+def fold_sum(x, err0=None):
+    """Compensated sum of ALL elements of a 2-D array (Mosaic-lowerable).
+
+    Ceil-halving folds: the upper half is taken as the LAST ``ceil(n/2)``
+    rows (overlapping the lower half by one row when ``n`` is odd, with the
+    overlapped row masked to zero — static slices + iota masks only, which
+    lower in Pallas TPU kernels; no pad/concat).
+
+    ``err0``: optional same-shape array added into the compensation channel
+    (used by :func:`fold_dot` to seed the TwoProduct tails).
+    """
+    err = jnp.zeros_like(x) if err0 is None else err0
+    for axis in (0, 1):
+        while x.shape[axis] > 1:
+            n = x.shape[axis]
+            h = (n + 1) // 2
+            if axis == 0:
+                a, b = x[:h], x[n - h:]
+                ea, eb = err[:h], err[n - h:]
+            else:
+                a, b = x[:, :h], x[:, n - h:]
+                ea, eb = err[:, :h], err[:, n - h:]
+            if 2 * h > n:  # odd: first row of b aliases last row of a
+                b = _mask_overlap(b, axis, 2 * h - n)
+                eb = _mask_overlap(eb, axis, 2 * h - n)
+            x, c = two_sum(a, b)
+            err = ea + eb + c
+    s, c = two_sum(x[0, 0], err[0, 0])
+    del c  # hi word is the correctly rounded compensated sum
+    return s
+
+
+def fold_dot(a, b):
+    """Compensated dot product: exact per-element TwoProduct, pairwise
+    compensated accumulation.  For the breakdown-sensitive BiCGSTAB scalars
+    (rho, denom, omega) whose values near convergence are ~eps of
+    sum|a_i b_i|."""
+    p, e = two_prod(a, b)
+    return fold_sum(p, err0=e)
+
+
+def fold_norm2(x):
+    """Compensated squared L2 norm (no cancellation, but the accumulation
+    itself must not lose the ~1e-5-relative signal the stopping tests
+    compare against)."""
+    return fold_dot(x, x)

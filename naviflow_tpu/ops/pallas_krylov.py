@@ -76,21 +76,26 @@ def _mk_kernel(maxiter: int, tol: float, lo_i, hi_i, lo_j, hi_j):
                 - as_ * _roll(x, 1, 1)
             ) * mask_f
 
+        # compensated dots: Mosaic's sequential reductions lose O(n*eps)
+        # accuracy on large arrays, which both weakens the stopping test
+        # and perturbs the breakdown-sensitive BiCGSTAB scalars
+        from .compensated import fold_dot
+
         b = src_ref[:] * mask_f
         x = x0_ref[:] * mask_f
         r0 = b - A(x)
         rhat = r0
         one = jnp.asarray(1.0, ap.dtype)
-        tol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-30)) ** 2
+        tol2 = (tol * jnp.maximum(jnp.sqrt(fold_dot(b, b)), 1e-30)) ** 2
         eps = jnp.asarray(jnp.finfo(ap.dtype).tiny * 1e6, ap.dtype)
 
         def cond(carry):
             x, r, rho, alpha, omega_, v, p, k, ok = carry
-            return ok & (k < maxiter) & (jnp.sum(r * r) > tol2)
+            return ok & (k < maxiter) & (fold_dot(r, r) > tol2)
 
         def body(carry):
             x, r, rho, alpha, omega_, v, p, k, ok = carry
-            rho_new = jnp.sum(rhat * r)
+            rho_new = fold_dot(rhat, r)
             good = (jnp.abs(rho) > eps) & (jnp.abs(omega_) > eps)
             beta = jnp.where(good,
                              (rho_new / jnp.where(rho == 0, one, rho))
@@ -98,16 +103,16 @@ def _mk_kernel(maxiter: int, tol: float, lo_i, hi_i, lo_j, hi_j):
                              0.0)
             p_new = r + beta * (p - omega_ * v)
             v_new = A(p_new)
-            denom = jnp.sum(rhat * v_new)
+            denom = fold_dot(rhat, v_new)
             good = good & (jnp.abs(denom) > eps)
             alpha_new = jnp.where(good,
                                   rho_new / jnp.where(denom == 0, one, denom),
                                   0.0)
             s = r - alpha_new * v_new
             t = A(s)
-            tt = jnp.sum(t * t)
+            tt = fold_dot(t, t)
             omega_new = jnp.where(tt > eps,
-                                  jnp.sum(t * s) / jnp.where(tt == 0, one, tt),
+                                  fold_dot(t, s) / jnp.where(tt == 0, one, tt),
                                   0.0)
             x_new = x + alpha_new * p_new + omega_new * s
             r_new = s - omega_new * t

@@ -105,10 +105,17 @@ def _transfer_matrices(nf: int, nc: int):
 
 
 def supports_fused(levels, cfg) -> bool:
-    """True when the (levels, cfg) combination lowers to the fused kernel."""
+    """True when the (levels, cfg) combination lowers to the fused kernel.
+
+    ``cycle_type='fmg'`` is accepted (ROADMAP #2): the FMG bootstrap runs
+    BEFORE the cycle/check loop (``multigrid_solve`` computes ``p_start``
+    and hands it to ``fused_mg_solve``), and FMG's in-loop cycles are
+    plain V-cycles — exactly what the kernel implements.  The whole-step
+    kernel (``pallas_step``) separately requires 'v' because its in-kernel
+    solve starts from zeros with no bootstrap."""
     if not HAVE_PALLAS:
         return False
-    if (cfg.cycle_type != "v" or cfg.smoother != "gs"
+    if (cfg.cycle_type not in ("v", "fmg") or cfg.smoother != "gs"
             or cfg.restriction != "full_weighting"
             or cfg.prolongation != "linear"
             or getattr(cfg, "smoother_dtype", "float32") != "float32"):
@@ -248,7 +255,11 @@ def mg_solve_value(p0, b, stencils, trans, meta, cfg, mean_normalize: bool):
     """The full multigrid_solve loop over values: cycles + convergence
     while_loop + optional mean normalization.  Returns (p, r, cycles, rel)."""
     S0 = stencils[0]
-    bnorm = jnp.sqrt(jnp.sum(b * b))
+    # compensated in-kernel norms: Mosaic's sequential reductions lose
+    # O(n*eps) at 255^2+, corrupting the relative-residual stopping test
+    # (ops/compensated.py fold_* rationale)
+    from .compensated import fold_norm2
+    bnorm = jnp.sqrt(fold_norm2(b))
     safe_b = jnp.where(bnorm > 0, bnorm, jnp.ones_like(bnorm))
 
     def cond(carry):
@@ -260,7 +271,7 @@ def mg_solve_value(p0, b, stencils, trans, meta, cfg, mean_normalize: bool):
         for _ in range(cfg.check_every):
             p = vcycle_value(p, b, stencils, trans, meta, cfg)
         r = b - apply9v(p, S0)
-        rel = jnp.sqrt(jnp.sum(r * r)) / safe_b
+        rel = jnp.sqrt(fold_norm2(r)) / safe_b
         return (p, k + cfg.check_every, rel)
 
     big = jnp.asarray(jnp.inf, b.dtype)

@@ -41,6 +41,10 @@ if HAVE_PALLAS:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+# see supports_fused_step: the whole-step kernel gets a higher budget than
+# the shared 8 MB because its 255^2 instantiation is measured to fit
+STEP_VMEM_BUDGET_BYTES = 12 * 2**20
+
 
 def step_shapes(nx: int, ny: int, pres_cfg):
     """The multigrid level shapes the step kernel will use (odd/vertex)."""
@@ -62,6 +66,10 @@ def supports_fused_step(nx, ny, simple_cfg, mom_cfg, pres_cfg, dtype) -> bool:
         return False
     if getattr(pres_cfg, "kind", "") != "multigrid":
         return False
+    # no in-kernel FMG bootstrap: the fused step's pressure solve starts
+    # from zeros, so only plain V-cycles keep XLA-path semantics
+    if getattr(pres_cfg, "cycle_type", "v") != "v":
+        return False
     shapes = step_shapes(nx, ny, pres_cfg)
     fake_levels = [
         (Stencil9(*(jnp.zeros((1, 1), dtype),) * 9), shp, lvl == 0, None)
@@ -70,17 +78,21 @@ def supports_fused_step(nx, ny, simple_cfg, mom_cfg, pres_cfg, dtype) -> bool:
     if not supports_fused(fake_levels, pres_cfg):
         return False
     # hierarchy + ~30 step-level field temporaries (u/v/p, 2x coefficient
-    # sets, Krylov vectors, RAP chain) at the fine shape.  A 255^2 step
-    # COMPILES (Mosaic's liveness scheduling beats this naive estimate)
-    # but was measured to creep at ~3.5e-5 outer residual instead of
-    # converging to 1e-5 — the in-kernel sequential reductions lose
-    # accuracy on ~64k-element norms, weakening the inner stopping tests.
-    # 63^2/127^2 converge identically to the XLA path, so the budget stays
-    # at the shared 8 MB, which admits exactly those.
+    # sets, Krylov vectors, RAP chain) at the fine shape.  The round-2
+    # build capped this at the shared 8 MB because the 255^2 step, though
+    # it compiled, creeped at ~3.5e-5 outer residual: Mosaic's sequential
+    # in-kernel reductions weakened the stopping tests.  Round 3 replaced
+    # every in-kernel norm/dot with compensated pairwise fold reductions
+    # (ops/compensated.fold_sum), fixing the creep, so the budget is the
+    # step kernel's own 12 MB — which admits 255^2 (naive estimate ~11 MB
+    # against the ~16 MB scoped-VMEM ceiling; Mosaic's liveness scheduling
+    # makes the naive estimate conservative for this kernel's long
+    # dependency chain).  Validated on hardware by
+    # benchmarks/tpu_numerics_check.py and the bench.py numerics row.
     total = 30 * _padded_bytes(nx, ny)
     for lvl, (snx, sny) in enumerate(shapes):
         total += ((5 if lvl == 0 else 9) + 3) * _padded_bytes(snx, sny)
-    return total <= VMEM_BUDGET_BYTES
+    return total <= STEP_VMEM_BUDGET_BYTES
 
 
 def _mk_step_kernel(meta, L, *, dx, dy, rho, mu, bc, simple_cfg, mom_cfg,
@@ -89,7 +101,12 @@ def _mk_step_kernel(meta, L, *, dx, dy, rho, mu, bc, simple_cfg, mom_cfg,
     from ..solvers.momentum import solve_u_momentum, solve_v_momentum
     from ..solvers.velocity import update_velocity
 
-    mom_xla = dataclasses.replace(mom_cfg, backend="xla")
+    # backend='xla' so the momentum solve traces inline (no nested
+    # pallas_call); compensated_dots because Mosaic's sequential in-kernel
+    # reductions weaken the stopping tests at 255^2 (see _bicgstab_masked)
+    mom_xla = dataclasses.replace(mom_cfg, backend="xla",
+                                  compensated_dots=True,
+                                  compensated_residual=True)
     pin = simple_cfg.poisson_variant == "reference"
 
     shapes = tuple(shp for shp, _ in meta)
@@ -125,7 +142,8 @@ def _mk_step_kernel(meta, L, *, dx, dy, rho, mu, bc, simple_cfg, mom_cfg,
             p_new = enforce_pressure_bcs(p_new, bc)
         u_new, v_new = update_velocity(u_star, v_star, p_prime, d_u, d_v, bc)
 
-        p_l2 = jnp.sqrt(jnp.sum(r_p[1:-1, 1:-1] ** 2))
+        from .compensated import fold_norm2
+        p_l2 = jnp.sqrt(fold_norm2(r_p[1:-1, 1:-1]))
         p_max_new = jnp.maximum(p_max_l2, p_l2)
         p_rel = jnp.where(p_max_new > 0, p_l2 / p_max_new,
                           jnp.ones_like(p_l2))

@@ -143,6 +143,10 @@ class KrylovMomentumConfig:
     max_iterations: int = 50
     scheme: str = "power_law"
     compensated_residual: bool = False
+    # evaluate the Krylov dots with compensated pairwise reductions; set
+    # automatically when the solve is traced inside a fused Pallas kernel
+    # (see _bicgstab_masked docstring) — not needed on the XLA path
+    compensated_dots: bool = False
     # 'auto'/'pallas': on TPU, run the whole masked BiCGSTAB as ONE fused
     # VMEM-resident kernel (ops/pallas_krylov.py) when the field fits;
     # 'xla' forces the composed while_loop
@@ -197,10 +201,25 @@ def _rbgs_sweeps(x0, c, mask, n_sweeps: int, omega: float):
     return jax.lax.fori_loop(0, n_sweeps, body, x0)
 
 
-def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int):
+def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int,
+                     compensated_dots: bool = False):
     """Matrix-free BiCGSTAB restricted to masked nodes (boundary nodes are
-    held fixed; Practice-B folding makes the masked system self-contained)."""
+    held fixed; Practice-B folding makes the masked system self-contained).
+
+    ``compensated_dots``: evaluate the Krylov dots/norms with the pairwise
+    two-sum reductions of ``ops/compensated.py``.  Set when this function is
+    traced INSIDE a Pallas kernel (``ops/pallas_step.py``): Mosaic's
+    sequential in-kernel reductions lose O(n*eps) on 64k-element arrays,
+    which weakened the stopping tests enough that the 255^2 fused step
+    creeped at ~3.5e-5.  The XLA path keeps plain ``jnp.sum`` (tree
+    reductions are already accurate, and fold passes would cost HBM
+    bandwidth there)."""
     mask_f = mask.astype(x0.dtype)
+    if compensated_dots:
+        from ..ops.compensated import fold_dot
+        dot = fold_dot
+    else:
+        dot = lambda a, b: jnp.sum(a * b)
 
     def A(x):
         return _apply(x, c) * mask_f
@@ -211,29 +230,29 @@ def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int):
     rhat = r0
     rho = alpha = omega_ = jnp.asarray(1.0, x0.dtype)
     v = p = jnp.zeros_like(x0)
-    bnorm = jnp.sqrt(jnp.sum(b * b))
+    bnorm = jnp.sqrt(dot(b, b))
     tol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
     eps = jnp.asarray(jnp.finfo(x0.dtype).tiny * 1e6, x0.dtype)
 
     def cond(carry):
         x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
-        return ok & (k < maxiter) & (jnp.sum(r * r) > tol2)
+        return ok & (k < maxiter) & (dot(r, r) > tol2)
 
     def body(carry):
         x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
-        rho_new = jnp.sum(rhat * r)
+        rho_new = dot(rhat, r)
         good = (jnp.abs(rho) > eps) & (jnp.abs(omega_) > eps)
         beta = jnp.where(good, (rho_new / jnp.where(rho == 0, 1.0, rho))
                          * (alpha / jnp.where(omega_ == 0, 1.0, omega_)), 0.0)
         p = r + beta * (p - omega_ * v)
         v = A(p)
-        denom = jnp.sum(rhat * v)
+        denom = dot(rhat, v)
         good = good & (jnp.abs(denom) > eps)
         alpha = jnp.where(good, rho_new / jnp.where(denom == 0, 1.0, denom), 0.0)
         s = r - alpha * v
         t = A(s)
-        tt = jnp.sum(t * t)
-        omega_new = jnp.where(tt > eps, jnp.sum(t * s) / jnp.where(tt == 0, 1.0, tt), 0.0)
+        tt = dot(t, t)
+        omega_new = jnp.where(tt > eps, dot(t, s) / jnp.where(tt == 0, 1.0, tt), 0.0)
         x = x + alpha * p + omega_new * s
         r = s - omega_new * t
         return (x, r, rhat, rho_new, alpha, omega_new, v, p, k + 1, good)
@@ -343,7 +362,9 @@ def _inner_solve(x0, c_rel, mask, cfg):
                 return bicgstab_momentum_pallas(
                     x0, c_rel, tol=cfg.tolerance,
                     maxiter=cfg.max_iterations)
-        return _bicgstab_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations)
+        return _bicgstab_masked(
+            x0, c_rel, mask, cfg.tolerance, cfg.max_iterations,
+            compensated_dots=getattr(cfg, "compensated_dots", False))
     if cfg.kind == "gmres":
         return _gmres_masked(x0, c_rel, mask, cfg.tolerance, cfg.max_iterations,
                              cfg.restart)
