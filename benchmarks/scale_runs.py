@@ -78,7 +78,7 @@ def run_re1000_4096():
                ghia_infinity_error=round(float(err), 5)))
 
 
-def run_re5000(nx):
+def run_re5000(nx, scheme="power_law"):
     (nf, SIMPLEConfig, _, sequenced_continuation_solve, simple_solve,
      KrylovMomentumConfig, MultigridConfig, inf_err) = _common()
 
@@ -87,7 +87,8 @@ def run_re5000(nx):
     schedule = [1000.0, 2000.0, 3200.0, 5000.0]
     cfg = SIMPLEConfig(max_iterations=30000, tolerance=1e-5,
                        alpha_p=0.2, alpha_u=0.6)
-    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25,
+                               scheme=scheme)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8)
@@ -99,13 +100,20 @@ def run_re5000(nx):
     )
     wall = time.perf_counter() - t0
     err = inf_err(final.u, final.v, mesh, 5000)
-    _emit(dict(run=f"re5000-{nx}", nx=nx, re=5000, tolerance=1e-5,
+    tag = "" if scheme == "power_law" else f"-{scheme}"
+    _emit(dict(run=f"re5000-{nx}{tag}", nx=nx, re=5000, tolerance=1e-5,
+               scheme=scheme,
                wall_seconds=round(wall, 1), levels=summ,
                converged=bool(diag.converged),
                ghia_infinity_error=round(float(err), 5)))
 
 
-def run_highre_511(re_target):
+def run_highre_511(re_target, scheme="power_law"):
+    """High-Re envelope at 511^2.  ``scheme='quick'``/'luds' runs the
+    9-point higher-order momentum discretization (ops/highorder.py) through
+    the same sequencing+continuation pipeline — the round-2 verdict's
+    accuracy item: power-law's numerical diffusion fails the 10% Ghia gate
+    above Re~5000; QUICK exists precisely to cut it."""
     (nf, SIMPLEConfig, _, sequenced_continuation_solve, simple_solve,
      KrylovMomentumConfig, MultigridConfig, inf_err) = _common()
 
@@ -131,7 +139,8 @@ def run_highre_511(re_target):
                             alpha_p=0.25, alpha_u=0.7)
 
     cfg = per_re(re_target)
-    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=30)
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=30,
+                               scheme=scheme)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=10, cycle_type="v",
                            check_every=2, coarsest_sweeps=48)
     t0 = time.perf_counter()
@@ -143,8 +152,10 @@ def run_highre_511(re_target):
     )
     wall = time.perf_counter() - t0
     err = inf_err(final.u, final.v, mesh, re_target)
-    _emit(dict(run=f"re{int(re_target)}-511", nx=nx, re=re_target,
-               tolerance=1e-5, wall_seconds=round(wall, 1), levels=summ,
+    tag = "" if scheme == "power_law" else f"-{scheme}"
+    _emit(dict(run=f"re{int(re_target)}-511{tag}", nx=nx, re=re_target,
+               tolerance=1e-5, scheme=scheme,
+               wall_seconds=round(wall, 1), levels=summ,
                converged=bool(diag.converged),
                final_residual=float(diag.final_residual),
                ghia_infinity_error=round(float(err), 5)))
@@ -217,5 +228,17 @@ if __name__ == "__main__":
         run_config4_257()
     elif which == "re5000-4096":
         run_re5000(4096)
+    elif which.startswith("quick-re"):
+        # quick-re5000-511, quick-re7500-511, quick-re10000-511, ...
+        parts = which.split("-")
+        re_t = float(parts[1][2:])
+        nx_t = int(parts[2])
+        if nx_t == 511:
+            run_highre_511(re_t, scheme="quick")
+        else:
+            run_re5000(nx_t, scheme="quick")
+    elif which.startswith("luds-re"):
+        parts = which.split("-")
+        run_highre_511(float(parts[1][2:]), scheme="luds")
     else:
         raise SystemExit(f"unknown run: {which}")
