@@ -39,30 +39,57 @@ from ..ops.stencil import StencilCoeffs
 # blocked layout conversions (host/jit-side, static loops over blocks)
 # --------------------------------------------------------------------------
 
-def to_blocked_u(u, mx: int):
-    """(nx+1, ny) -> (mx*(nxl+1), ny): per-block face rows with duplicated
-    shared edges."""
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_axis(a, axis: int, size: int):
+    """Zero-pad ``a`` up to ``size`` along ``axis`` (no-op when equal)."""
+    if a.shape[axis] == size:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, size - a.shape[axis])
+    return jnp.pad(a, pad)
+
+
+def to_blocked_u(u, mx: int, my: int = 1):
+    """(nx+1, ny) -> (mx*(nxl+1), my*nyl): per-block face rows with
+    duplicated shared edges.  Non-divisible grids are zero-padded up to the
+    tiled extent (``nxl = ceil(nx/mx)``); padded cells are excluded from
+    every update and reduction by the global-index masks (real ``nx`` is
+    carried on :class:`Decomp`, not inferred from the padded layout)."""
     nx = u.shape[0] - 1
-    nxl = nx // mx
-    return jnp.concatenate([u[b * nxl : (b + 1) * nxl + 1, :] for b in range(mx)], 0)
+    nxl, nyl = _ceil_div(nx, mx), _ceil_div(u.shape[1], my)
+    u = _pad_axis(_pad_axis(u, 0, mx * nxl + 1), 1, my * nyl)
+    return jnp.concatenate([u[b * nxl : b * nxl + nxl + 1, :] for b in range(mx)], 0)
 
 
 def from_blocked_u(u_blk, mx: int):
+    """Inverse of :func:`to_blocked_u` up to the zero padding (crop the
+    result to ``[:nx+1, :ny]`` for non-divisible grids)."""
     nrow = u_blk.shape[0] // mx
     parts = [u_blk[b * nrow : (b + 1) * nrow, :] for b in range(mx)]
     return jnp.concatenate([p[:-1] for p in parts[:-1]] + [parts[-1]], 0)
 
 
-def to_blocked_v(v, my: int):
+def to_blocked_v(v, my: int, mx: int = 1):
     ny = v.shape[1] - 1
-    nyl = ny // my
-    return jnp.concatenate([v[:, b * nyl : (b + 1) * nyl + 1] for b in range(my)], 1)
+    nxl, nyl = _ceil_div(v.shape[0], mx), _ceil_div(ny, my)
+    v = _pad_axis(_pad_axis(v, 0, mx * nxl), 1, my * nyl + 1)
+    return jnp.concatenate([v[:, b * nyl : b * nyl + nyl + 1] for b in range(my)], 1)
 
 
 def from_blocked_v(v_blk, my: int):
     ncol = v_blk.shape[1] // my
     parts = [v_blk[:, b * ncol : (b + 1) * ncol] for b in range(my)]
     return jnp.concatenate([p[:, :-1] for p in parts[:-1]] + [parts[-1]], 1)
+
+
+def to_blocked_p(p, mx: int, my: int):
+    """(nx, ny) zero-padded to the (mx, my)-tiled extent (identity for
+    divisible grids)."""
+    nxl, nyl = _ceil_div(p.shape[0], mx), _ceil_div(p.shape[1], my)
+    return _pad_axis(_pad_axis(p, 0, mx * nxl), 1, my * nyl)
 
 
 # --------------------------------------------------------------------------
@@ -101,7 +128,14 @@ def _halo(a, axis: int, name: str, n_shards: int, lo_send: int, hi_send: int,
 
 @dataclasses.dataclass(frozen=True)
 class Decomp:
-    """Static decomposition descriptor."""
+    """Static decomposition descriptor.
+
+    ``nx``/``ny`` are the REAL global cell counts; ``nxl``/``nyl`` the
+    per-block extents (``ceil``) — for non-divisible grids the blocked
+    layout is zero-padded up to ``(nxp, nyp) = (mx*nxl, my*nyl)`` and every
+    update/reduction masks on global indices against the real sizes, so
+    padded cells stay exactly zero and contribute nothing (round-2 verdict
+    item #7: grids no longer need to divide the device mesh)."""
 
     nx: int
     ny: int
@@ -110,17 +144,24 @@ class Decomp:
 
     @property
     def nxl(self):
-        return self.nx // self.mx
+        return _ceil_div(self.nx, self.mx)
 
     @property
     def nyl(self):
-        return self.ny // self.my
+        return _ceil_div(self.ny, self.my)
 
-    def __post_init__(self):
-        if self.nx % self.mx or self.ny % self.my:
-            raise ValueError(
-                f"grid ({self.nx},{self.ny}) must divide the mesh ({self.mx},{self.my})"
-            )
+    @property
+    def nxp(self):
+        """Padded (tiled) global x extent."""
+        return self.mx * self.nxl
+
+    @property
+    def nyp(self):
+        return self.my * self.nyl
+
+    @property
+    def padded(self):
+        return self.nxp != self.nx or self.nyp != self.ny
 
 
 def extend_u(u_loc, dec: Decomp):
