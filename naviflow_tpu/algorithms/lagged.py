@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -83,6 +84,9 @@ def make_lagged_mg(pres_cfg, *, dx, dy, rho, variant) -> LaggedMG:
     def extra0(dt, nx, ny):
         d_u0 = jnp.ones((nx + 1, ny), dt) * dy
         d_v0 = jnp.ones((nx, ny + 1), dt) * dx
-        return (jnp.asarray(0, jnp.int32), rebuild(d_u0, d_v0))
+        # jit: run eagerly, the RAP chain is hundreds of op-by-op
+        # dispatch compiles — measured ~200 s of tunnel compiles at 512^2
+        # on a cold cache vs one ~2 s program (inlines when traced)
+        return (jnp.asarray(0, jnp.int32), jax.jit(rebuild)(d_u0, d_v0))
 
     return LaggedMG(rebuild=rebuild, solve=solve, extra0=extra0)
