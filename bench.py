@@ -142,6 +142,11 @@ def main():
     # ---- large-grid throughput: measured ms/iter at big_nx^2 --------------
     if big_nx:
         row["large_grid"] = _bench_large_grid(big_nx, re)
+    # scaling row one size up (skippable with BENCH_BIG2_NX=0); 4096^2 is
+    # measured offline (BENCHMARKS.md) — too slow for the per-round bench
+    big2 = int(os.environ.get("BENCH_BIG2_NX", 2048))
+    if big2:
+        row["large_grid_2"] = _bench_large_grid(big2, re, n_iters=20)
 
     # ---- hardware-numerics regression (runs on whatever jax.devices()[0]
     # is — on the real TPU this certifies the fused kernels' MXU numerics,

@@ -34,7 +34,8 @@ from ..core.mesh import StructuredMesh
 from ..core.state import FlowState
 from ..ops.poisson import poisson_coefficients, pressure_rhs
 from ..solvers.dispatch import dispatch_pressure_solve
-from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_momentum
+from ..solvers.momentum import (JacobiMomentumConfig, solve_momentum_pair,
+                                solve_u_momentum, solve_v_momentum)
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
@@ -117,11 +118,10 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
             return u_new, v_new, p_new, extra_out, info
 
         p_star = p
-        u_star, d_u, r_u, u_norm = solve_u_momentum(
-            u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
-            alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg,
-        )
-        v_star, d_v, r_v, v_norm = solve_v_momentum(
+        # pair form: on large TPU grids the two fields' coefficient
+        # assemblies fuse into one strip-blocked pass (pallas_assembly)
+        ((u_star, d_u, r_u, u_norm),
+         (v_star, d_v, r_v, v_norm)) = solve_momentum_pair(
             u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
             alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg,
         )

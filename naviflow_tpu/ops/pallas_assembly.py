@@ -1,0 +1,195 @@
+"""Strip-fused momentum coefficient assembly for large grids.
+
+``profile_phases.py`` at 1024^2 measured the power-law assembly+relaxation
+of both momentum fields at 0.64 ms/iteration against a ~0.1 ms streaming
+roofline (read u, v, p once; write the coefficient sets once): XLA
+materializes the flux/diffusion intermediates in HBM.  This kernel
+processes the grid in T-row strips; each strip DMAs its u/v/p window into
+VMEM once and evaluates the ENTIRE assembly — fluxes, power-law A, the
+Practice-B boundary folds, and the Patankar relaxation for BOTH fields —
+on the resident tile, writing only the 16 coefficient arrays.
+
+The per-tile math is the *verified window-form assembly* of
+``ops/windowed.py`` (global-index masks; bit-compatible with the global
+``ops/powerlaw.py`` assembly, pinned by ``tests/test_windowed.py``) —
+the same functions the distributed step runs under shard_map, here traced
+inside a Pallas kernel over DMA'd windows.
+
+Mosaic-dictated layout choices:
+
+* The one-ring column extension (zero columns at the physical y-walls)
+  is applied in XLA BEFORE the call — in-kernel lane-dimension
+  ``concatenate`` of a width-1 zero block fails to lower ("result/input
+  offset mismatch on non-concat dimension"); in-kernel lane *slices*
+  (which the window-form assembly uses internally) lower fine, as the
+  whole-step kernel (``pallas_step``) already relies on.
+* Rows are zero-padded by PAD+1 = 17 on top so the in-window row slices
+  the halo-extended forms need start at sublane-aligned offsets, and
+  every strip's DMA window starts at the aligned row ``g*T``.
+* The relaxation fields (the raw u/v strip blocks) are DMA'd separately
+  from the unpadded arrays at the same aligned offsets.
+
+Outputs per field: shared neighbor links (a_e, a_w, a_n, a_s), the
+unrelaxed (a_p, src) pair (consumed by the outer residual), and the
+relaxed (a_p, src) pair (consumed by the inner solve) — relaxation only
+modifies a_p/src, so the links are emitted once.  The u-grid's last face
+row (I = nx, never solved, all links zero) is appended in XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .stencil import StencilCoeffs
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+PAD = 16  # >= the 1-ring halo; keeps DMA offsets and row slices aligned
+
+
+def _strip_rows_assembly(nx: int, ny: int) -> int:
+    """Strip height: the assembly traces ~20 live (T+2, ny) temporaries
+    through Mosaic's liveness stack, so keep the window small."""
+    for T in (64, 32, 16):
+        if nx % T == 0 and (T + 2 * PAD) * ny <= 96 * 1024:
+            return T
+    return 0
+
+
+def supports_fused_assembly(nx, ny, scheme, dtype, backend) -> bool:
+    """Gate: TPU auto/pallas backend, power-law scheme, f32, big grids
+    (the latency-bound <=255^2 regime is served by the whole-step kernel;
+    odd vertex grids are fine — only row counts matter)."""
+    if not HAVE_PALLAS or backend not in ("auto", "pallas"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if scheme != "power_law" or dtype != jnp.float32:
+        return False
+    if nx < 384 or ny < 256:
+        return False
+    return _strip_rows_assembly(nx, ny) > 0
+
+
+def _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha):
+    from ..ops.powerlaw import relax_coefficients
+    from ..ops.windowed import u_coefficients_window, v_coefficients_window
+
+    W = T + 2 * PAD
+
+    def kernel(ue_h, ve_h, pe_h, u_h, v_h, *refs):
+        outs = refs[:16]
+        uew, vew, pew, ufw, vfw, sems = refs[16:]
+        g = pl.program_id(0)
+        off = pl.multiple_of(g * T, 16)
+        dmas = []
+        for i, (src, dst) in enumerate((
+                (ue_h, uew), (ve_h, vew), (pe_h, pew),
+                (u_h, ufw), (v_h, vfw))):
+            dma = pltpu.make_async_copy(src.at[pl.ds(off, dst.shape[0])],
+                                        dst, sems.at[i])
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
+        # padded row r holds global row r - (PAD+1); strip g owns global
+        # rows [gT, gT+T).  Halo-extended forms (ops/windowed.py layout;
+        # columns pre-extended in XLA):
+        #   u_ext (T+3, ny+2): faces gT-1 .. gT+T+1 -> rows [16, T+19)
+        #   v_ext (T+2, ny+3): cells gT-1 .. gT+T   -> rows [16, T+18)
+        #   p_ext (T+2, ny+2)
+        # lane dims are 128-padded for the DMA (Mosaic requires sliced
+        # copies to have 128-aligned lane extents); crop after load
+        u_ext = uew[PAD: PAD + T + 3, : ny + 2]
+        v_ext = vew[PAD: PAD + T + 2, : ny + 3]
+        p_ext = pew[PAD: PAD + T + 2, : ny + 2]
+        cu = u_coefficients_window(
+            u_ext, v_ext, p_ext, gi0=off, gj0=0, nx=nx, ny=ny,
+            dx=dx, dy=dy, rho=rho, mu=mu)
+        # drop the duplicated trailing face row (next strip's first face)
+        cu = jax.tree_util.tree_map(lambda a: a[:T], cu)
+        cur = relax_coefficients(cu, ufw[:, :ny], alpha)
+
+        cv = v_coefficients_window(
+            u_ext, v_ext, p_ext, gi0=off, gj0=0, nx=nx, ny=ny,
+            dx=dx, dy=dy, rho=rho, mu=mu)
+        cv_r = relax_coefficients(cv, vfw[:, : ny + 1], alpha)
+
+        vals = (cu.a_e, cu.a_w, cu.a_n, cu.a_s, cu.a_p, cu.src,
+                cur.a_p, cur.src,
+                cv.a_e, cv.a_w, cv.a_n, cv.a_s, cv.a_p, cv.src,
+                cv_r.a_p, cv_r.src)
+        for o, val in zip(outs, vals):
+            o[:] = val
+
+    return kernel
+
+
+def fused_assembly_pair(u, v, p, *, dx, dy, rho, mu, alpha,
+                        interpret: bool = False):
+    """Both momentum fields' (unrelaxed, relaxed) coefficient sets in one
+    strip-fused pass over u, v, p.  Returns ``(cu_un, cu_rel, cv_un,
+    cv_rel)`` equal to ``u_momentum_coefficients`` / ``relax_coefficients``
+    (and the v counterparts) up to FMA contraction."""
+    nxp1, ny = u.shape
+    nx = nxp1 - 1
+    T = _strip_rows_assembly(nx, ny)
+    W = T + 2 * PAD
+    # rows: PAD+1 on top (so the gT-1 halo row sits at the aligned
+    # in-window offset PAD), enough at the bottom for the last window
+    # [nx-T, nx-T+W); columns: the one-ring zero extension
+    lane = lambda n: (-(-n // 128)) * 128  # DMA lane extents must be
+    # 128-aligned, so the column-extended arrays are lane-padded too
+    u_e = jnp.pad(u, ((PAD + 1, PAD - 1), (1, lane(ny + 2) - ny - 1)))
+    v_e = jnp.pad(v, ((PAD + 1, PAD), (1, lane(ny + 3) - ny - 2)))
+    p_e = jnp.pad(p, ((PAD + 1, PAD), (1, lane(ny + 2) - ny - 1)))
+    u_f = jnp.pad(u, ((0, 0), (0, lane(ny) - ny)))
+    v_f = jnp.pad(v, ((0, 0), (0, lane(ny + 1) - ny - 1)))
+    dt = u.dtype
+
+    out_shapes = ([jax.ShapeDtypeStruct((nx, ny), dt)] * 8
+                  + [jax.ShapeDtypeStruct((nx, ny + 1), dt)] * 8)
+    out_specs = ([pl.BlockSpec((T, ny), lambda g: (g, 0))] * 8
+                 + [pl.BlockSpec((T, ny + 1), lambda g: (g, 0))] * 8)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    outs = pl.pallas_call(
+        _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha),
+        grid=(nx // T,),
+        out_shape=out_shapes,
+        in_specs=[any_spec] * 5,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((W, lane(ny + 2)), dt),
+                        pltpu.VMEM((W, lane(ny + 3)), dt),
+                        pltpu.VMEM((W, lane(ny + 2)), dt),
+                        pltpu.VMEM((T, lane(ny)), dt),
+                        pltpu.VMEM((T, lane(ny + 1)), dt),
+                        pltpu.SemaphoreType.DMA((5,))],
+        interpret=interpret,
+    )(u_e, v_e, p_e, u_f, v_f)
+
+    # append the never-solved last u-face row (I = nx): links and the
+    # unrelaxed pair are zero; relaxation floors a_p at 1e-12
+    zrow = jnp.zeros((1, ny), dt)
+    ap_last = jnp.full((1, ny), 1e-12 / alpha, dt)
+    src_last = (1.0 - alpha) * ap_last * u[nx:nx + 1]
+    (ue, uw_, un, us, upn, usrc, upr, usrcr,
+     ve, vw_, vn, vs, vpn, vsrc, vpr, vsrcr) = outs
+    cat = lambda a, last: jnp.concatenate([a, last], 0)
+    cu_un = StencilCoeffs(a_e=cat(ue, zrow), a_w=cat(uw_, zrow),
+                          a_n=cat(un, zrow), a_s=cat(us, zrow),
+                          a_p=cat(upn, zrow), src=cat(usrc, zrow))
+    cu_rel = StencilCoeffs(a_e=cu_un.a_e, a_w=cu_un.a_w, a_n=cu_un.a_n,
+                           a_s=cu_un.a_s, a_p=cat(upr, ap_last),
+                           src=cat(usrcr, src_last))
+    cv_un = StencilCoeffs(a_e=ve, a_w=vw_, a_n=vn, a_s=vs, a_p=vpn,
+                          src=vsrc)
+    cv_rel = StencilCoeffs(a_e=ve, a_w=vw_, a_n=vn, a_s=vs, a_p=vpr,
+                           src=vsrcr)
+    return cu_un, cu_rel, cv_un, cv_rel

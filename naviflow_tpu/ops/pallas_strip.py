@@ -24,10 +24,11 @@ edge (the window's wrap-around rolls read the opposite window edge, not
 the true neighbor).  The halo absorbs it: pre = 4 halves + residual = 5
 rows consumed < H = 16; the up-kernel's local-clamped row prolongation is
 exact everywhere except the outermost window row, also inside the slop
-(and AT physical edges the local clamp IS the global clamp).  Column
-transfers use the same global 1-D factor matrices as the fused kernels
-(MXU matmuls at HIGHEST precision); row transfers use a static
-locally-clamped factor.  Agreement with the XLA path is pinned to ~1 ULP
+(and AT physical edges the local clamp IS the global clamp).  Row
+transfers use small static locally-clamped factors on the MXU; COLUMN
+transfers run outside in XLA on the half-height coarse intermediates — a
+global column-factor matrix is O(ny^2) of VMEM (8 MB at 2048^2, measured
+stack OOM).  Agreement with the XLA path is pinned to ~1 ULP
 per cycle by ``tests/test_pallas_strip.py``.
 
 Only the five-point (finest, cell-centered/even) level is stripped here —
@@ -62,20 +63,19 @@ from .pallas_mg import _inv_diag, apply9v, mm
 # sliced sublane offset.
 H = 16
 
-# VMEM scratch budget for the 7 windowed arrays (p, b, 5 stencil entries).
-# Mosaic's liveness stack roughly doubles this with sweep temporaries
-# (measured: T=256 at 1024^2 estimated 7.8 MB scratch but allocated
-# 18.5 MB and OOM'd the 16 MB scope), so the budget leaves that headroom
-_SCRATCH_BUDGET = 6 * 2**20
-
-
 def _strip_rows(nx: int, ny: int) -> int:
-    """Largest strip height T (multiple of 8, <= nx/2) whose 7-array
-    window fits the scratch budget; 0 if none does."""
+    """Largest strip height T (multiple of 16, <= nx/2) whose window fits
+    Mosaic's scoped-VMEM stack; 0 if none does.
+
+    The limit is EMPIRICAL, in window-cells (W * ny): the kernel's live
+    set is the 7 scratch arrays plus ~2.5x that in sweep temporaries
+    Mosaic keeps on the stack (measured: W=160 x ny=1024 allocates
+    ~12-13 MB and compiles; W=96 x ny=2048 allocates 19.2 MB and OOMs
+    the 16 MB scope), so the cap is the largest measured-good window."""
     for T in (256, 128, 64, 32, 16):
         if T + 2 * H > nx or nx % T:
             continue
-        if 7 * (T + 2 * H) * ny * 4 <= _SCRATCH_BUDGET:
+        if (T + 2 * H) * ny <= 160 * 1024:
             return T
     return 0
 
@@ -120,15 +120,6 @@ def _cc_row_prolong(W: int, Wc: int):
     return P
 
 
-@functools.lru_cache(maxsize=32)
-def _cc_col_factors(ny: int, nyc: int):
-    """Global column factors: restrict Rt (ny, nyc), prolong Pt (nyc, ny)."""
-    from .pallas_mg import _transfer_matrices
-
-    R, Rt, P, Pt = _transfer_matrices(ny, nyc)
-    return Rt, Pt
-
-
 def _rb_halves(p, b, S, red, omega, n_sweeps):
     invc = _inv_diag(S)
 
@@ -154,8 +145,8 @@ def _window(nx, T, g):
 def _mk_down_kernel(nx, ny, T, pre, omega):
     W = T + 2 * H
 
-    def kernel(p_h, b_h, c_h, e_h, w_h, n_h, s_h, rloc_ref, rt_ref,
-               p_out, rc_out, pw, bw, cw, ew, ww, nw_, sw_, sems):
+    def kernel(p_h, b_h, c_h, e_h, w_h, n_h, s_h, rloc_ref,
+               p_out, rr_out, pw, bw, cw, ew, ww, nw_, sw_, sems):
         g = pl.program_id(0)
         off, s0 = _window(nx, T, g)
         dmas = []
@@ -180,16 +171,21 @@ def _mk_down_kernel(nx, ny, T, pre, omega):
         pw[:] = p
         p_out[:] = pw[pl.ds(s0, T), :]
         bw[:] = r
-        rc_out[:] = mm(mm(rloc_ref[:], bw[pl.ds(s0, T), :]), rt_ref[:])
+        # rows restricted here (small static factor on the MXU); the
+        # COLUMN restriction runs outside in XLA — a global column-factor
+        # matmul would put an O(ny^2) constant in VMEM (8 MB at 2048,
+        # measured stack OOM), while the XLA transpose-sandwich pass on
+        # the half-height intermediate costs ~2 reads of a half array
+        rr_out[:] = mm(rloc_ref[:], bw[pl.ds(s0, T), :])
 
     return kernel
 
 
-def _mk_up_kernel(nx, ny, nyc, T, post, omega):
+def _mk_up_kernel(nx, ny, T, post, omega):
     W = T + 2 * H
     Wc = W // 2
 
-    def kernel(p_h, b_h, c_h, e_h, w_h, n_h, s_h, ec_h, ploc_ref, pt_ref,
+    def kernel(p_h, b_h, c_h, e_h, w_h, n_h, s_h, ec2_h, ploc_ref,
                p_out, pw, bw, cw, ew, ww, nw_, sw_, ecw, sems):
         g = pl.program_id(0)
         off, s0 = _window(nx, T, g)
@@ -202,7 +198,7 @@ def _mk_up_kernel(nx, ny, nyc, T, post, omega):
             dma.start()
             dmas.append(dma)
         co = pl.multiple_of(off // 2, 8)  # 8-aligned because off is 16-aligned
-        dma_c = pltpu.make_async_copy(ec_h.at[pl.ds(co, Wc)], ecw,
+        dma_c = pltpu.make_async_copy(ec2_h.at[pl.ds(co, Wc)], ecw,
                                       sems.at[7])
         dma_c.start()
         for dma in dmas:
@@ -210,8 +206,10 @@ def _mk_up_kernel(nx, ny, nyc, T, post, omega):
         dma_c.wait()
         S = (cw[:], ew[:], ww[:], nw_[:], sw_[:])
         b = bw[:]
-        # prolonged coarse correction: local-clamped rows x global columns
-        ef = mm(ploc_ref[:], mm(ecw[:], pt_ref[:]))
+        # coarse correction: columns were prolonged OUTSIDE in XLA (see
+        # down kernel's rationale); here only the local-clamped row
+        # prolongation (small static factor on the MXU)
+        ef = mm(ploc_ref[:], ecw[:])
         p = pw[:] + ef
         ii = off + jax.lax.broadcasted_iota(jnp.int32, (W, ny), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, ny), 1)
@@ -228,49 +226,55 @@ def strip_down(p, b, st: Stencil9, cfg, *, interpret: bool = False):
     + cell-centered restriction of a five-point level, strip-blocked.
     Returns ``(p_smoothed, r_coarse)``; replaces the XLA sequence
     ``_smooth; r = b - apply5; restrict_cc(r)``."""
+    from .transfer_cc import _restrict_ax0
+
     nx, ny = p.shape
-    nxc, nyc = nx // 2, ny // 2
+    nxc = nx // 2
     T = _strip_rows(nx, ny)
     W = T + 2 * H
-    Rt, _ = _cc_col_factors(ny, nyc)
     inputs = [p, b, st.c, st.e, st.w, st.n, st.s,
-              jnp.asarray(_cc_row_restrict(T // 2, T)), jnp.asarray(Rt)]
+              jnp.asarray(_cc_row_restrict(T // 2, T))]
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    p_sm, rr = pl.pallas_call(
         _mk_down_kernel(nx, ny, T, cfg.pre_smoothing, cfg.omega),
         grid=(nx // T,),
         out_shape=[jax.ShapeDtypeStruct((nx, ny), p.dtype),
-                   jax.ShapeDtypeStruct((nxc, nyc), p.dtype)],
-        in_specs=[any_spec] * 7 + [vmem, vmem],
+                   jax.ShapeDtypeStruct((nxc, ny), p.dtype)],
+        in_specs=[any_spec] * 7 + [vmem],
         out_specs=[pl.BlockSpec((T, ny), lambda g: (g, 0)),
-                   pl.BlockSpec((T // 2, nyc), lambda g: (g, 0))],
+                   pl.BlockSpec((T // 2, ny), lambda g: (g, 0))],
         scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(7)]
         + [pltpu.SemaphoreType.DMA((7,))],
         interpret=interpret,
     )(*inputs)
+    # column restriction in XLA on the half-height intermediate
+    return p_sm, _restrict_ax0(rr.T).T
 
 
 def strip_up(p, b, st: Stencil9, ec, cfg, *, interpret: bool = False):
     """Prolongated coarse correction + post-smoothing of a five-point
     level, strip-blocked.  Replaces ``p + prolong_cc(ec); _smooth(post)``."""
+    from .transfer_cc import _prolong_ax0
+
     nx, ny = p.shape
-    nyc = ec.shape[1]
     T = _strip_rows(nx, ny)
     W = T + 2 * H
-    _, Pt = _cc_col_factors(ny, nyc)
-    inputs = [p, b, st.c, st.e, st.w, st.n, st.s, ec,
-              jnp.asarray(_cc_row_prolong(W, W // 2)), jnp.asarray(Pt)]
+    # column prolongation in XLA (clamped bilinear sandwich); the kernel
+    # adds only the row prolongation
+    ec2 = _prolong_ax0(ec.T).T
+    inputs = [p, b, st.c, st.e, st.w, st.n, st.s, ec2,
+              jnp.asarray(_cc_row_prolong(W, W // 2))]
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _mk_up_kernel(nx, ny, nyc, T, cfg.post_smoothing, cfg.omega),
+        _mk_up_kernel(nx, ny, T, cfg.post_smoothing, cfg.omega),
         grid=(nx // T,),
         out_shape=jax.ShapeDtypeStruct((nx, ny), p.dtype),
-        in_specs=[any_spec] * 8 + [vmem, vmem],
+        in_specs=[any_spec] * 8 + [vmem],
         out_specs=pl.BlockSpec((T, ny), lambda g: (g, 0)),
         scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(7)]
-        + [pltpu.VMEM((W // 2, nyc), p.dtype),
+        + [pltpu.VMEM((W // 2, ny), p.dtype),
            pltpu.SemaphoreType.DMA((8,))],
         interpret=interpret,
     )(*inputs)

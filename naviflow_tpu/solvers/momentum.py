@@ -424,12 +424,21 @@ def _unrelaxed_residual(x_star, c_un, *, is_u: bool, compensated: bool = False):
     return rf, norm
 
 
-def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg):
-    """u-momentum predictor.  Returns (u_star, d_u, r_field, r_norm)."""
+def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg,
+                     coeffs=None):
+    """u-momentum predictor.  Returns (u_star, d_u, r_field, r_norm).
+
+    ``coeffs``: optional precomputed ``(c_un, c_rel)`` pair (the strip-fused
+    assembly of :func:`solve_momentum_pair`); BCs must already be applied.
+    """
     u, v = apply_velocity_bcs(u, v, bc)
-    c_un = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
-                            scheme=getattr(cfg, "scheme", "power_law"), is_u=True)
-    c_rel = _relax(c_un, u, alpha)
+    if coeffs is not None:
+        c_un, c_rel = coeffs
+    else:
+        c_un = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                                scheme=getattr(cfg, "scheme", "power_law"),
+                                is_u=True)
+        c_rel = _relax(c_un, u, alpha)
     mask = _u_interior_mask(u.shape)
     u_star = _inner_solve(u, c_rel, mask, cfg)
     u_star, _ = apply_velocity_bcs(u_star, v, bc)
@@ -440,12 +449,17 @@ def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
     return u_star, d_u, r_field, r_norm
 
 
-def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg):
+def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg,
+                     coeffs=None):
     """v-momentum predictor.  Returns (v_star, d_v, r_field, r_norm)."""
     u, v = apply_velocity_bcs(u, v, bc)
-    c_un = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
-                            scheme=getattr(cfg, "scheme", "power_law"), is_u=False)
-    c_rel = _relax(c_un, v, alpha)
+    if coeffs is not None:
+        c_un, c_rel = coeffs
+    else:
+        c_un = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                                scheme=getattr(cfg, "scheme", "power_law"),
+                                is_u=False)
+        c_rel = _relax(c_un, v, alpha)
     mask = _v_interior_mask(v.shape)
     v_star = _inner_solve(v, c_rel, mask, cfg)
     _, v_star = apply_velocity_bcs(u, v_star, bc)
@@ -454,3 +468,36 @@ def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
         v_star, c_un, is_u=False,
         compensated=getattr(cfg, "compensated_residual", False))
     return v_star, d_v, r_field, r_norm
+
+
+def solve_momentum_pair(u, v, p, *, dx, dy, rho, mu, alpha,
+                        bc: BoundaryConditions, cfg):
+    """Both momentum predictors, with the coefficient assembly of the two
+    fields fused into one strip-blocked Pallas pass on large TPU grids
+    (``ops/pallas_assembly.py`` — measured 0.64 ms/iter of XLA assembly at
+    1024^2 against a ~0.1 ms streaming roofline).  Falls back to the
+    separate :func:`solve_u_momentum` / :func:`solve_v_momentum` path
+    everywhere else.  Returns ``((u_star, d_u, r_u, u_norm),
+    (v_star, d_v, r_v, v_norm))``."""
+    from ..ops.pallas_assembly import (fused_assembly_pair,
+                                      supports_fused_assembly)
+
+    nxp1, ny = u.shape
+    scheme = getattr(cfg, "scheme", "power_law")
+    if supports_fused_assembly(nxp1 - 1, ny, scheme, u.dtype,
+                               getattr(cfg, "backend", "auto")):
+        ub, vb = apply_velocity_bcs(u, v, bc)
+        cu_un, cu_rel, cv_un, cv_rel = fused_assembly_pair(
+            ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha)
+        out_u = solve_u_momentum(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                                 alpha=alpha, bc=bc, cfg=cfg,
+                                 coeffs=(cu_un, cu_rel))
+        out_v = solve_v_momentum(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                                 alpha=alpha, bc=bc, cfg=cfg,
+                                 coeffs=(cv_un, cv_rel))
+        return out_u, out_v
+    out_u = solve_u_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                             alpha=alpha, bc=bc, cfg=cfg)
+    out_v = solve_v_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                             alpha=alpha, bc=bc, cfg=cfg)
+    return out_u, out_v
