@@ -128,15 +128,20 @@ def run_highre_511(re_target, scheme="power_law"):
         schedule.append(re_target)
 
     def per_re(re):
-        # back off relaxation near the steady branch's stability limit
+        # back off relaxation near the steady branch's stability limit;
+        # QUICK/LUDS (sharper profiles, less numerical damping) need one
+        # extra notch — the round-3 quick runs with the power-law alphas
+        # stalled in limit cycles just above tolerance (7500: 5.5e-5,
+        # 10000: 1.0e-4; SCALE_RUNS.jsonl)
+        damp = 1.0 if scheme == "power_law" else 0.6
         if re >= 8500:
             return SIMPLEConfig(max_iterations=40000, tolerance=1e-5,
-                                alpha_p=0.12, alpha_u=0.5)
+                                alpha_p=0.12 * damp, alpha_u=0.5)
         if re >= 6500:
             return SIMPLEConfig(max_iterations=30000, tolerance=1e-5,
-                                alpha_p=0.18, alpha_u=0.6)
+                                alpha_p=0.18 * damp, alpha_u=0.6)
         return SIMPLEConfig(max_iterations=20000, tolerance=1e-5,
-                            alpha_p=0.25, alpha_u=0.7)
+                            alpha_p=0.25 * damp, alpha_u=0.7)
 
     cfg = per_re(re_target)
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=30,

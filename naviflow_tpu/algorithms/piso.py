@@ -23,7 +23,8 @@ from ..core.mesh import StructuredMesh
 from ..core.state import FlowState
 from ..ops.poisson import poisson_coefficients, pressure_rhs
 from ..solvers.dispatch import dispatch_pressure_solve
-from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_momentum
+from ..solvers.momentum import (JacobiMomentumConfig, solve_momentum_pair,
+                                solve_u_momentum, solve_v_momentum)
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
@@ -65,12 +66,11 @@ def make_piso_step(*, dx, dy, rho, mu, bc, cfg: PISOConfig, mom_cfg, pres_cfg,
                      else JacobiMomentumConfig(n_sweeps=cfg.corrector_sweeps))
 
     def solve_momentum(u, v, p, alpha, solver_cfg):
-        u_star, d_u, r_u, u_norm = solve_u_momentum(
-            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha, bc=bc, cfg=solver_cfg
-        )
-        v_star, d_v, r_v, v_norm = solve_v_momentum(
-            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha, bc=bc, cfg=solver_cfg
-        )
+        # pair form: fused strip assembly on large TPU grids
+        ((u_star, d_u, r_u, u_norm),
+         (v_star, d_v, r_v, v_norm)) = solve_momentum_pair(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha, bc=bc,
+            cfg=solver_cfg)
         return u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm
 
     def pressure_correct(u_star, v_star, d_u, d_v, p, coarse=None):

@@ -30,7 +30,8 @@ from ..core.mesh import StructuredMesh
 from ..core.state import FlowState
 from ..ops.poisson import poisson_coefficients, pressure_rhs
 from ..solvers.dispatch import dispatch_pressure_solve
-from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_momentum
+from ..solvers.momentum import (JacobiMomentumConfig, solve_momentum_pair,
+                                solve_u_momentum, solve_v_momentum)
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
@@ -79,11 +80,9 @@ def make_simplec_step(*, dx, dy, rho, mu, bc, cfg: SIMPLECConfig, mom_cfg, pres_
         else:
             alpha_p, prev_res = extra
         p_star = p
-        u_star, d_u, r_u, _ = solve_u_momentum(
-            u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
-            alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg,
-        )
-        v_star, d_v, r_v, _ = solve_v_momentum(
+        # pair form: fused strip assembly on large TPU grids
+        ((u_star, d_u, r_u, _),
+         (v_star, d_v, r_v, _)) = solve_momentum_pair(
             u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
             alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg,
         )

@@ -29,7 +29,8 @@ from ..core.mesh import StructuredMesh
 from ..core.state import FlowState
 from ..ops.poisson import poisson_coefficients, pressure_rhs
 from ..solvers.dispatch import dispatch_pressure_solve
-from ..solvers.momentum import JacobiMomentumConfig, solve_u_momentum, solve_v_momentum
+from ..solvers.momentum import (JacobiMomentumConfig, solve_momentum_pair,
+                                solve_u_momentum, solve_v_momentum)
 from ..solvers.pressure import RBGSPressureConfig
 from ..solvers.velocity import update_velocity
 from .base import SolveDiagnostics, StepInfo, build_solver
@@ -52,12 +53,11 @@ def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_
         )
 
     def solve_momentum(u, v, p):
-        u_star, d_u, r_u, u_norm = solve_u_momentum(
-            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg
-        )
-        v_star, d_v, r_v, v_norm = solve_v_momentum(
-            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg
-        )
+        # pair form: fused strip assembly on large TPU grids
+        ((u_star, d_u, r_u, u_norm),
+         (v_star, d_v, r_v, v_norm)) = solve_momentum_pair(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=cfg.alpha_u,
+            bc=bc, cfg=mom_cfg)
         return u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm
 
     def pressure_solve(u_star, v_star, d_u, d_v, p, coarse=None):
