@@ -63,29 +63,33 @@ from .pallas_mg import _inv_diag, apply9v, mm
 # sliced sublane offset.
 H = 16
 
-def _strip_rows(nx: int, ny: int) -> int:
+def _strip_rows(nx: int, ny: int, five: bool = True) -> int:
     """Largest strip height T (multiple of 16, <= nx/2) whose window fits
     Mosaic's scoped-VMEM stack; 0 if none does.
 
     The limit is EMPIRICAL, in window-cells (W * ny): the kernel's live
-    set is the 7 scratch arrays plus ~2.5x that in sweep temporaries
-    Mosaic keeps on the stack (measured: W=160 x ny=1024 allocates
-    ~12-13 MB and compiles; W=96 x ny=2048 allocates 19.2 MB and OOMs
-    the 16 MB scope), so the cap is the largest measured-good window."""
+    set is the scratch arrays plus ~2.5x that in sweep temporaries
+    Mosaic keeps on the stack (measured for the 7-array five-point
+    kernel: W=160 x ny=1024 allocates ~12-13 MB and compiles; W=96 x
+    ny=2048 allocates 19.2 MB and OOMs the 16 MB scope).  Nine-point
+    levels carry 11 arrays + corner-roll temporaries — ~60% of the
+    five-point window budget."""
+    cap = 160 * 1024 if five else 96 * 1024
     for T in (256, 128, 64, 32, 16):
         if T + 2 * H > nx or nx % T:
             continue
-        if (T + 2 * H) * ny <= 160 * 1024:
+        if (T + 2 * H) * ny <= cap:
             return T
     return 0
 
 
 def supports_strip(nx: int, ny: int, five_point: bool, cfg, dtype) -> bool:
-    """Gate: big even square five-point level, red-black GS smoothing with
-    <= 2 pre/post sweeps, cell-centered transfers, f32."""
+    """Gate: big even square level, GS smoothing (red-black on five-point
+    levels, 4-color on Galerkin 9-point levels) with <= 2 pre/post sweeps,
+    cell-centered transfers, f32."""
     if not HAVE_PALLAS or dtype != jnp.float32:
         return False
-    if not five_point or nx != ny or nx % 2:
+    if nx != ny or nx % 2:
         return False
     if (cfg.smoother != "gs" or cfg.pre_smoothing > 2
             or cfg.post_smoothing > 2
@@ -93,7 +97,7 @@ def supports_strip(nx: int, ny: int, five_point: bool, cfg, dtype) -> bool:
         return False
     if cfg.restriction != "full_weighting" or cfg.prolongation != "linear":
         return False
-    return _strip_rows(nx, ny) > 0
+    return _strip_rows(nx, ny, five_point) > 0
 
 
 @functools.lru_cache(maxsize=32)
@@ -120,16 +124,54 @@ def _cc_row_prolong(W: int, Wc: int):
     return P
 
 
-def _rb_halves(p, b, S, red, omega, n_sweeps):
+def _smooth_window(p, b, S, ii, jj, omega, n_sweeps):
+    """GS sweeps on the VMEM-resident window: red-black halves on
+    five-point levels (len(S) == 5), 4-color quarters on Galerkin 9-point
+    levels — mirroring ``_rb2_sweep`` / ``gs4_sweep``.
+
+    The sweeps are VPU-compute-bound (BENCHMARKS.md round-3b), so the
+    update is algebraically re-associated to minimize per-cell ops: the
+    stencil is diagonal-normalized ONCE per kernel invocation
+    (``p_new = b_hat - sum(link_hat * neighbor)``, saving the per-color
+    ``c*p`` recompute and the ``*invc``), and the ``omega == 1`` blend is
+    specialized away.  Same fixed point and smoothing factor as the XLA
+    sweeps; rounding differs by a few ULPs (iteration-count parity pinned
+    on hardware by ``benchmarks/strip_parity_check.py``).
+    """
+    from .pallas_mg import _roll
+
     invc = _inv_diag(S)
+    bh = b * invc
+    Lh = [x * invc for x in S[1:]]
 
-    def half(p, color):
-        off = apply9v(p, S) - S[0] * p
-        return jnp.where(color, p + omega * ((b - off) * invc - p), p)
+    def gauss(p, color):
+        off = (
+            Lh[0] * _roll(p, -1, 0)
+            + Lh[1] * _roll(p, 1, 0)
+            + Lh[2] * _roll(p, -1, 1)
+            + Lh[3] * _roll(p, 1, 1)
+        )
+        if len(S) == 9:
+            off = off + (
+                Lh[4] * _roll(_roll(p, -1, 0), -1, 1)
+                + Lh[5] * _roll(_roll(p, 1, 0), -1, 1)
+                + Lh[6] * _roll(_roll(p, -1, 0), 1, 1)
+                + Lh[7] * _roll(_roll(p, 1, 0), 1, 1)
+            )
+        p_new = bh - off
+        if omega != 1.0:
+            p_new = p + omega * (p_new - p)
+        return jnp.where(color, p_new, p)
 
+    if len(S) == 5:
+        red = (ii + jj) % 2 == 0
+        colors = [red, jnp.logical_not(red)]
+    else:
+        colors = [((ii % 2) == a) & ((jj % 2) == bb)
+                  for a in range(2) for bb in range(2)]
     for _ in range(n_sweeps):
-        p = half(p, red)
-        p = half(p, jnp.logical_not(red))
+        for color in colors:
+            p = gauss(p, color)
     return p
 
 
@@ -142,29 +184,31 @@ def _window(nx, T, g):
     return pl.multiple_of(off, 16), s0
 
 
-def _mk_down_kernel(nx, ny, T, pre, omega):
+def _mk_down_kernel(nx, ny, T, ns, pre, omega):
     W = T + 2 * H
 
-    def kernel(p_h, b_h, c_h, e_h, w_h, n_h, s_h, rloc_ref,
-               p_out, rr_out, pw, bw, cw, ew, ww, nw_, sw_, sems):
+    def kernel(*refs):
+        hbm = refs[:2 + ns]          # p, b, stencil entries
+        rloc_ref = refs[2 + ns]
+        p_out, rr_out = refs[3 + ns: 5 + ns]
+        scratch = refs[5 + ns: 7 + 2 * ns]
+        sems = refs[7 + 2 * ns]
+        pw, bw = scratch[0], scratch[1]
         g = pl.program_id(0)
         off, s0 = _window(nx, T, g)
         dmas = []
-        for i, (src, dst) in enumerate((
-                (p_h, pw), (b_h, bw), (c_h, cw), (e_h, ew), (w_h, ww),
-                (n_h, nw_), (s_h, sw_))):
+        for i, (src, dst) in enumerate(zip(hbm, scratch)):
             dma = pltpu.make_async_copy(src.at[pl.ds(off, W)], dst,
                                         sems.at[i])
             dma.start()
             dmas.append(dma)
         for dma in dmas:
             dma.wait()
-        S = (cw[:], ew[:], ww[:], nw_[:], sw_[:])
+        S = tuple(r[:] for r in scratch[2:])
         b = bw[:]
         ii = off + jax.lax.broadcasted_iota(jnp.int32, (W, ny), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, ny), 1)
-        red = (ii + jj) % 2 == 0
-        p = _rb_halves(pw[:], b, S, red, omega, pre)
+        p = _smooth_window(pw[:], b, S, ii, jj, omega, pre)
         r = b - apply9v(p, S)
         # Mosaic has no value-level dynamic_slice: round-trip through the
         # (now-consumed) input scratch refs and load a pl.ds window
@@ -181,30 +225,35 @@ def _mk_down_kernel(nx, ny, T, pre, omega):
     return kernel
 
 
-def _mk_up_kernel(nx, ny, T, post, omega):
+def _mk_up_kernel(nx, ny, T, ns, post, omega):
     W = T + 2 * H
     Wc = W // 2
 
-    def kernel(p_h, b_h, c_h, e_h, w_h, n_h, s_h, ec2_h, ploc_ref,
-               p_out, pw, bw, cw, ew, ww, nw_, sw_, ecw, sems):
+    def kernel(*refs):
+        hbm = refs[:2 + ns]
+        ec2_h = refs[2 + ns]
+        ploc_ref = refs[3 + ns]
+        p_out = refs[4 + ns]
+        scratch = refs[5 + ns: 7 + 2 * ns]
+        ecw = refs[7 + 2 * ns]
+        sems = refs[8 + 2 * ns]
+        pw, bw = scratch[0], scratch[1]
         g = pl.program_id(0)
         off, s0 = _window(nx, T, g)
         dmas = []
-        for i, (src, dst) in enumerate((
-                (p_h, pw), (b_h, bw), (c_h, cw), (e_h, ew), (w_h, ww),
-                (n_h, nw_), (s_h, sw_))):
+        for i, (src, dst) in enumerate(zip(hbm, scratch)):
             dma = pltpu.make_async_copy(src.at[pl.ds(off, W)], dst,
                                         sems.at[i])
             dma.start()
             dmas.append(dma)
         co = pl.multiple_of(off // 2, 8)  # 8-aligned because off is 16-aligned
         dma_c = pltpu.make_async_copy(ec2_h.at[pl.ds(co, Wc)], ecw,
-                                      sems.at[7])
+                                      sems.at[2 + ns])
         dma_c.start()
         for dma in dmas:
             dma.wait()
         dma_c.wait()
-        S = (cw[:], ew[:], ww[:], nw_[:], sw_[:])
+        S = tuple(r[:] for r in scratch[2:])
         b = bw[:]
         # coarse correction: columns were prolonged OUTSIDE in XLA (see
         # down kernel's rationale); here only the local-clamped row
@@ -213,68 +262,78 @@ def _mk_up_kernel(nx, ny, T, post, omega):
         p = pw[:] + ef
         ii = off + jax.lax.broadcasted_iota(jnp.int32, (W, ny), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, ny), 1)
-        red = (ii + jj) % 2 == 0
-        p = _rb_halves(p, b, S, red, omega, post)
+        p = _smooth_window(p, b, S, ii, jj, omega, post)
         pw[:] = p  # Mosaic has no value-level dynamic_slice (see down kernel)
         p_out[:] = pw[pl.ds(s0, T), :]
 
     return kernel
 
 
-def strip_down(p, b, st: Stencil9, cfg, *, interpret: bool = False):
-    """Pre-smooth (``cfg.pre_smoothing`` red-black SOR sweeps) + residual
-    + cell-centered restriction of a five-point level, strip-blocked.
-    Returns ``(p_smoothed, r_coarse)``; replaces the XLA sequence
-    ``_smooth; r = b - apply5; restrict_cc(r)``."""
+def _st_arrays(st: Stencil9, five: bool):
+    if five:
+        return [st.c, st.e, st.w, st.n, st.s]
+    return [st.c, st.e, st.w, st.n, st.s, st.ne, st.nw, st.se, st.sw]
+
+
+def strip_down(p, b, st: Stencil9, cfg, five: bool = True, *,
+               interpret: bool = False):
+    """Pre-smooth (``cfg.pre_smoothing`` GS sweeps) + residual +
+    cell-centered restriction of a (five- or nine-point) level,
+    strip-blocked.  Returns ``(p_smoothed, r_coarse)``; replaces the XLA
+    sequence ``_smooth; r = b - apply; restrict_cc(r)``."""
     from .transfer_cc import _restrict_ax0
 
     nx, ny = p.shape
     nxc = nx // 2
-    T = _strip_rows(nx, ny)
+    ns = 5 if five else 9
+    T = _strip_rows(nx, ny, five)
     W = T + 2 * H
-    inputs = [p, b, st.c, st.e, st.w, st.n, st.s,
-              jnp.asarray(_cc_row_restrict(T // 2, T))]
+    inputs = [p, b] + _st_arrays(st, five) + [
+        jnp.asarray(_cc_row_restrict(T // 2, T))]
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     p_sm, rr = pl.pallas_call(
-        _mk_down_kernel(nx, ny, T, cfg.pre_smoothing, cfg.omega),
+        _mk_down_kernel(nx, ny, T, ns, cfg.pre_smoothing, cfg.omega),
         grid=(nx // T,),
         out_shape=[jax.ShapeDtypeStruct((nx, ny), p.dtype),
                    jax.ShapeDtypeStruct((nxc, ny), p.dtype)],
-        in_specs=[any_spec] * 7 + [vmem],
+        in_specs=[any_spec] * (2 + ns) + [vmem],
         out_specs=[pl.BlockSpec((T, ny), lambda g: (g, 0)),
                    pl.BlockSpec((T // 2, ny), lambda g: (g, 0))],
-        scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(7)]
-        + [pltpu.SemaphoreType.DMA((7,))],
+        scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(2 + ns)]
+        + [pltpu.SemaphoreType.DMA((2 + ns,))],
         interpret=interpret,
     )(*inputs)
     # column restriction in XLA on the half-height intermediate
     return p_sm, _restrict_ax0(rr.T).T
 
 
-def strip_up(p, b, st: Stencil9, ec, cfg, *, interpret: bool = False):
-    """Prolongated coarse correction + post-smoothing of a five-point
-    level, strip-blocked.  Replaces ``p + prolong_cc(ec); _smooth(post)``."""
+def strip_up(p, b, st: Stencil9, ec, cfg, five: bool = True, *,
+             interpret: bool = False):
+    """Prolongated coarse correction + post-smoothing of a (five- or
+    nine-point) level, strip-blocked.  Replaces
+    ``p + prolong_cc(ec); _smooth(post)``."""
     from .transfer_cc import _prolong_ax0
 
     nx, ny = p.shape
-    T = _strip_rows(nx, ny)
+    ns = 5 if five else 9
+    T = _strip_rows(nx, ny, five)
     W = T + 2 * H
     # column prolongation in XLA (clamped bilinear sandwich); the kernel
     # adds only the row prolongation
     ec2 = _prolong_ax0(ec.T).T
-    inputs = [p, b, st.c, st.e, st.w, st.n, st.s, ec2,
-              jnp.asarray(_cc_row_prolong(W, W // 2))]
+    inputs = [p, b] + _st_arrays(st, five) + [
+        ec2, jnp.asarray(_cc_row_prolong(W, W // 2))]
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _mk_up_kernel(nx, ny, T, cfg.post_smoothing, cfg.omega),
+        _mk_up_kernel(nx, ny, T, ns, cfg.post_smoothing, cfg.omega),
         grid=(nx // T,),
         out_shape=jax.ShapeDtypeStruct((nx, ny), p.dtype),
-        in_specs=[any_spec] * 8 + [vmem],
+        in_specs=[any_spec] * (3 + ns) + [vmem],
         out_specs=pl.BlockSpec((T, ny), lambda g: (g, 0)),
-        scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(7)]
+        scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(2 + ns)]
         + [pltpu.VMEM((W // 2, ny), p.dtype),
-           pltpu.SemaphoreType.DMA((8,))],
+           pltpu.SemaphoreType.DMA((3 + ns,))],
         interpret=interpret,
     )(*inputs)

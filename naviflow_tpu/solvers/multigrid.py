@@ -336,7 +336,7 @@ def _peeled_cycle(p, b, levels, cfg, k: int, tail_fn, strip: bool = False):
         st, (nx, ny), five, lam = levels[lvl]
         x0 = p if lvl == 0 else jnp.zeros_like(bs[-1])
         if strip and supports_strip(nx, ny, five, cfg, x0.dtype):
-            x, rc = strip_down(x0, bs[-1], st, cfg)
+            x, rc = strip_down(x0, bs[-1], st, cfg, five)
             carry.append((x, None, st, five, lam, True))
             bs.append(rc)
         else:
@@ -348,7 +348,7 @@ def _peeled_cycle(p, b, levels, cfg, k: int, tail_fn, strip: bool = False):
     for lvl in reversed(range(k)):
         x, pf, st, five, lam, stripped = carry[lvl]
         if stripped:
-            ec = strip_up(x, bs[lvl], st, ec, cfg)
+            ec = strip_up(x, bs[lvl], st, ec, cfg, five)
         else:
             x = x + pf(ec)
             ec = _smooth(x, bs[lvl], st, cfg, cfg.post_smoothing, five, lam)

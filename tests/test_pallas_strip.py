@@ -40,10 +40,40 @@ CFG = MultigridConfig(pre_smoothing=2, post_smoothing=2, smoother="gs")
 
 def test_gate_and_strip_geometry():
     assert supports_strip(NX, NX, True, CFG, jnp.float32)
+    assert supports_strip(NX, NX, False, CFG, jnp.float32)  # 9-pt Galerkin
     assert not supports_strip(NX - 1, NX - 1, True, CFG, jnp.float32)  # odd
-    assert not supports_strip(NX, NX, False, CFG, jnp.float32)  # 9-pt
     T = _strip_rows(NX, NX)
     assert T and NX % T == 0 and T + 2 * H <= NX
+
+
+def test_strip_nine_point_matches_xla():
+    """9-point Galerkin-level strips (4-color GS, corner links live) ==
+    the XLA path, on a real RAP coarse operator at 64^2."""
+    from naviflow_tpu.ops.stencil9 import apply9, galerkin_coarsen
+
+    rng = np.random.default_rng(13)
+    nf_ = 2 * NX
+    d_u = jnp.asarray(rng.uniform(0.5, 1.5, (nf_ + 1, nf_)), jnp.float32)
+    d_v = jnp.asarray(rng.uniform(0.5, 1.5, (nf_, nf_ + 1)), jnp.float32)
+    pc = poisson_coefficients(d_u, d_v, dx=1.0 / nf_, dy=1.0 / nf_, rho=1.0,
+                              variant="consistent")
+    st = galerkin_coarsen(from_poisson(pc), restrict_cc, prolong_cc, NX, NX)
+    p = jnp.asarray(rng.normal(size=(NX, NX)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(NX, NX)), jnp.float32)
+    ec = jnp.asarray(rng.normal(size=(NX // 2, NX // 2)), jnp.float32)
+
+    x = _smooth(p, b, st, CFG, CFG.pre_smoothing, False, None)
+    want_rc = restrict_cc(b - apply9(x, st))
+    got_x, got_rc = strip_down(p, b, st, CFG, five=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(x),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_rc), np.asarray(want_rc),
+                               rtol=1e-5, atol=1e-4)
+    want_up = _smooth(x + prolong_cc(ec), b, st, CFG, CFG.post_smoothing,
+                      False, None)
+    got_up = strip_up(got_x, b, st, ec, CFG, five=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_up), np.asarray(want_up),
+                               rtol=1e-5, atol=1e-4)
 
 
 def test_strip_down_matches_xla(problem):
