@@ -546,6 +546,13 @@ def _pcg_dist(A, M, b, n_cells, tol, max_iter, real=None):
     safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
     tol_abs = tol * safe_b
     eps = jnp.asarray(jnp.finfo(b.dtype).tiny * 1e6, b.dtype)
+    # f32 divergence guard: near outer convergence ``b`` sits at the f32
+    # noise floor and the recursive CG residual drifts away from the true
+    # one — hundreds of drifting iterations amplify x into garbage
+    # (measured: 24^2 f32 cavity NaN'd ~10 outer iterations after its
+    # pressure defect reached ~1e-4).  Stop when the iterated residual
+    # grows far beyond the initial one...
+    blow = 1e3 * safe_b
 
     b0 = zero_mean(b)
     x = jnp.zeros_like(b)
@@ -556,7 +563,8 @@ def _pcg_dist(A, M, b, n_cells, tol, max_iter, real=None):
 
     def cond(carry):
         x, r, z, pvec, rz, k, ok = carry
-        return ok & (k < max_iter) & (pnorm2(r) > tol_abs)
+        rn = pnorm2(r)
+        return ok & (k < max_iter) & (rn > tol_abs) & (rn < blow)
 
     def body(carry):
         x, r, z, pvec, rz, k, ok = carry
@@ -578,6 +586,12 @@ def _pcg_dist(A, M, b, n_cells, tol, max_iter, real=None):
         cond, body,
         (x, r, z, pvec, rz, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
     )
+    # ...and if the TRUE final residual is worse than the zero guess
+    # (drift already polluted x), fall back to the zero correction — the
+    # outer iteration then simply makes no pressure update this step
+    # instead of exploding.
+    r_true = pnorm2(b0 - A(x))
+    x = jnp.where(r_true < safe_b, x, jnp.zeros_like(x))
     p = zero_mean(x)
     return p, b - A(p)
 
