@@ -31,9 +31,10 @@ global column-factor matrix is O(ny^2) of VMEM (8 MB at 2048^2, measured
 stack OOM).  Agreement with the XLA path is pinned to ~1 ULP
 per cycle by ``tests/test_pallas_strip.py``.
 
-Only the five-point (finest, cell-centered/even) level is stripped here —
-it is ~3/4 of the cycle's traffic; Galerkin levels below either fit the
-whole-hierarchy fused tail or stay XLA.
+Both level flavors are stripped: the five-point finest level (red-black
+halves) and 9-point Galerkin levels (4-color quarters, live corner
+links) — at a 1024^2 problem that covers levels 0 and 1 of the peel,
+with the sub-256^2 tail running as the whole-hierarchy fused kernel.
 """
 
 from __future__ import annotations
