@@ -339,12 +339,17 @@ def dist_fmg(b, dist_levels, tail_levels, cfg: MultigridConfig):
 
 def dist_mg_solve(b, st_fine: Stencil9, dec: Decomp, cfg: MultigridConfig, *,
                   tol: float, max_cycles: int, check_every: int = 2,
-                  gather_cutoff: int = 32):
+                  gather_cutoff: int = 32, real=None, n_cells=None):
     """Standalone distributed multigrid solve — the block-parallel mirror of
     ``solvers.multigrid.multigrid_solve``: optional FMG bootstrap
     (``cfg.cycle_type='fmg'``), then V/W cycles until the psum'd relative
     residual drops below ``tol``.  Returns the zero-mean solution, its
-    residual field, and the cycle count (replicated scalar)."""
+    residual field, and the cycle count (replicated scalar).
+
+    ``real``/``n_cells``: padded-grid support — ``dec`` is then the padded
+    tiling, ``st_fine``'s padded rows must already be zeroed (padding then
+    stays exactly zero through smoothing/restriction), and the mean shift
+    is restricted to the ``n_cells`` real cells."""
     dist_levels, tail_levels = build_dist_levels(
         st_fine, dec, cfg, gather_cutoff=gather_cutoff)
 
@@ -371,8 +376,9 @@ def dist_mg_solve(b, st_fine: Stencil9, dec: Decomp, cfg: MultigridConfig, *,
     big = jnp.asarray(jnp.inf, b.dtype)
     p, cycles, rel = jax.lax.while_loop(
         cond, body, (p0, jnp.asarray(0, jnp.int32), big))
-    mean = jax.lax.psum(jax.lax.psum(jnp.sum(p), "x"), "y") / (dec.nx * dec.ny)
-    p = p - mean
+    count = dec.nx * dec.ny if n_cells is None else n_cells
+    mean = jax.lax.psum(jax.lax.psum(jnp.sum(p), "x"), "y") / count
+    p = p - mean if real is None else (p - mean) * real
     return p, b - apply9_halo(p, st_fine, dec), cycles
 
 

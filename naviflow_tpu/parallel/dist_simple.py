@@ -612,10 +612,6 @@ def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0,
 
     real = None
     if dec.padded:
-        if cfg.pressure_solver in ("mgcg", "mg", "fmg"):
-            raise ValueError(
-                "multigrid pressure solvers require the grid to divide the "
-                "device mesh; use 'cg'/'chebcg'/'rbgs' on padded grids")
         GI, GJ = _iotas(b.shape, gi0, gj0)
         real = ((GI < dec.nx) & (GJ < dec.ny)).astype(b.dtype)
         b = b * real
@@ -624,8 +620,22 @@ def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0,
         y = apply_stencil_halo(x, _pc_as_stencil(pc), extend_p, dec)
         return y if real is None else y * real
 
+    if cfg.pressure_solver in ("mgcg", "mg", "fmg"):
+        # Padded grids: run the multigrid machinery on the PADDED tiling
+        # (divisible by construction) with the fine stencil's padded ROWS
+        # zeroed — padded cells then behave as exact zero rows through the
+        # whole Galerkin hierarchy (smoothing keeps them 0, restriction
+        # mixes only zeros, RAP is the Galerkin operator of the masked
+        # system), so the real-cell solve is unpolluted.
+        dec_mg = dec
+        mask_st = None
+        if real is not None:
+            dec_mg = Decomp(nx=dec.nxp, ny=dec.nyp, mx=dec.mx, my=dec.my)
+            mask_st = real
+
     if cfg.pressure_solver == "mgcg":
-        return _solve_pressure_mgcg(b, pc, dec, cfg, gi0, gj0,
+        return _solve_pressure_mgcg(b, pc, dec_mg, cfg, gi0, gj0,
+                                    real=mask_st, n_cells=n_cells,
                                     d_u_loc=d_u_loc, d_v_loc=d_v_loc,
                                     dx=dx, dy=dy, rho=rho)
 
@@ -638,14 +648,17 @@ def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0,
         from .dist_mg import dist_mg_solve
 
         st = from_poisson(pc)
+        if mask_st is not None:
+            st = jax.tree_util.tree_map(lambda a: a * mask_st, st)
         mg_cfg = MultigridConfig(
             pre_smoothing=2, post_smoothing=2, coarsest_sweeps=32,
             smoother="gs",
             cycle_type="fmg" if cfg.pressure_solver == "fmg" else "v")
         p, r, _ = dist_mg_solve(
-            b, st, dec, mg_cfg, tol=cfg.pressure_tol,
+            b, st, dec_mg, mg_cfg, tol=cfg.pressure_tol,
             max_cycles=cfg.pressure_max_iter,
-            gather_cutoff=cfg.gather_cutoff)
+            gather_cutoff=cfg.gather_cutoff,
+            real=mask_st, n_cells=n_cells)
         return p, r
 
     def zero_mean(x):
@@ -738,25 +751,30 @@ def _solve_pressure_local(b, pc, dec: Decomp, cfg: DistributedConfig, gi0, gj0,
 
 
 def _solve_pressure_mgcg(b, pc, dec: Decomp, cfg, gi0, gj0, *,
+                         real=None, n_cells=None,
                          d_u_loc=None, d_v_loc=None, dx=None, dy=None,
                          rho=None):
     """CG preconditioned by the fully distributed multigrid
     (``parallel/dist_mg.py``): every level above ``cfg.gather_cutoff``
     stays sharded on the device mesh; only the <= ~cutoff^2 tail is
-    gathered."""
+    gathered.  ``real``/``n_cells``: padded-grid mask and real cell count
+    (``dec`` is then the padded tiling; see ``_solve_pressure_local``)."""
     from ..ops.stencil9 import from_poisson
     from ..solvers.multigrid import MultigridConfig
     from .dist_mg import apply9_halo, make_dist_mg_preconditioner
 
-    n_cells = dec.nx * dec.ny
+    if n_cells is None:
+        n_cells = dec.nx * dec.ny
     st = from_poisson(pc)
+    if real is not None:
+        st = jax.tree_util.tree_map(lambda a: a * real, st)
     mg_cfg = MultigridConfig(pre_smoothing=2, post_smoothing=2,
                              coarsest_sweeps=32, smoother="gs")
     M = make_dist_mg_preconditioner(st, dec, mg_cfg,
                                     gather_cutoff=cfg.gather_cutoff)
     A = lambda x: apply9_halo(x, st, dec)
     return _pcg_dist(A, M, b, n_cells, cfg.pressure_tol,
-                     cfg.pressure_max_iter)
+                     cfg.pressure_max_iter, real=real)
 
 
 def _pc_as_stencil(pc):

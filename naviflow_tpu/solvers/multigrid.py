@@ -268,6 +268,11 @@ def levels_from_stencil(st: Stencil9, nx: int, ny: int, cfg: MultigridConfig):
 
     levels = [(st, (nx, ny), False, lam_of(st, (nx, ny)))]
     while min(nx, ny) > cfg.coarsest_grid_size:
+        if (nx % 2) != (ny % 2):
+            # mixed parity (padded rectangular tails, e.g. 30x32 -> 15x16):
+            # no transfer factorization — stop here; the extra coarsest
+            # sweeps absorb the shallower ladder
+            break
         rf, pf, (nxc, nyc) = _level_transfers(nx, ny, cfg)
         st = galerkin_coarsen(st, rf, pf, nxc, nyc)
         levels.append((st, (nxc, nyc), False, lam_of(st, (nxc, nyc))))

@@ -292,6 +292,30 @@ def test_distributed_nondivisible_grid_matches_single_device():
     assert du < 3e-4 and dv < 3e-4, (du, dv)
 
 
+def test_distributed_nondivisible_multigrid_pressure():
+    """Multigrid pressure solvers on a padded (non-divisible) grid: the
+    hierarchy runs on the padded tiling with the fine stencil's padded
+    rows zeroed, so padding stays exactly zero down the whole Galerkin
+    ladder (ROADMAP open #3).  30^2 on the (2,4) mesh, mgcg and
+    FMG-bootstrapped standalone multigrid."""
+    nx = ny = 30
+    mesh = nf.StructuredMesh(nx=nx, ny=ny)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+    bc = nf.lid_driven_cavity(1.0)
+    state = nf.initialize_state(mesh, bc, dtype=jnp.float64)
+    dmesh = make_device_mesh(8)
+    for solver, inner in (("mgcg", 60), ("fmg", 40)):
+        final, diag = distributed_simple_solve(
+            mesh, fluid, bc, state, dmesh,
+            DistributedConfig(max_iterations=3000, tolerance=1e-4,
+                              momentum_sweeps=2, pressure_solver=solver,
+                              pressure_tol=1e-8, pressure_max_iter=inner,
+                              gather_cutoff=8),
+        )
+        assert diag["converged"], (solver, diag["final_residual"])
+        assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
+
+
 def test_distributed_simplec_matches_single_device():
     """algorithm='simplec' (consistent d-coefficients, max-abs change
     residuals, dynamic alpha_p aux carry) reaches the single-device
