@@ -72,6 +72,11 @@ def _case_args(p, multi=False):
     p.add_argument("--sequence", action="store_true",
                    help="grid-sequenced solve (coarse-to-fine warm starts)")
     p.add_argument("--f64", action="store_true", help="run in float64 (CPU)")
+    p.add_argument("--distributed", action="store_true",
+                   help="spatial domain decomposition over all local "
+                        "devices (shard_map halo exchange; algorithm "
+                        "simple/simplec/piso, pressure cg/chebcg/rbgs/"
+                        "mgcg/mg/fmg, momentum jacobi/bicgstab)")
 
 
 def _make_solvers(args):
@@ -113,6 +118,67 @@ def _make_solvers(args):
     return mom, pres
 
 
+def _run_case_distributed(args, nx, re):
+    """Spatial domain decomposition over every local device
+    (``parallel/dist_simple.py``): the CLI surface for the multi-chip
+    path.  Non-divisible grids are padded+masked automatically."""
+    import jax
+
+    import naviflow_tpu as nf
+    from .parallel.dist_simple import (DistributedConfig,
+                                       distributed_simple_solve)
+    from .parallel.sharding import make_device_mesh
+    from .postprocessing.validation import infinity_norm_error
+
+    pres_map = {"cg": "cg", "chebcg": "chebcg", "rbgs": "rbgs",
+                "mgcg": "mgcg", "mg": "mg", "fmg": "fmg",
+                # nearest distributed equivalents of the single-device names
+                "multigrid": "mg", "jacobi": "cg", "bicgstab": "cg",
+                "gmres": "cg", "direct": "mgcg"}
+    mom = "bicgstab" if args.momentum in ("bicgstab", "gmres", "idrs") \
+        else "jacobi"
+    if args.algorithm == "simpler":
+        raise SystemExit("--distributed supports simple/simplec/piso")
+    cfg = DistributedConfig(
+        algorithm=args.algorithm, alpha_p=args.alpha_p, alpha_u=args.alpha_u,
+        max_iterations=args.max_iterations, tolerance=args.tolerance,
+        momentum_solver=mom, scheme=args.scheme,
+        pressure_solver=pres_map[args.pressure],
+        pressure_tol=max(args.pressure_tol, 1e-6),
+        pressure_max_iter=100 if pres_map[args.pressure] in
+        ("mgcg", "mg", "fmg") else 2000,
+    )
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+    bc = nf.lid_driven_cavity(1.0)
+    state = nf.initialize_state(mesh, bc)
+    dmesh = make_device_mesh(len(jax.devices()))
+    t0 = time.perf_counter()
+    final, diag = distributed_simple_solve(mesh, fluid, bc, state, dmesh, cfg)
+    wall = time.perf_counter() - t0
+    err = float(infinity_norm_error(final.u, final.v, mesh, re))
+    import numpy as _np
+
+    from .postprocessing.result import SimulationResult
+
+    result = SimulationResult(
+        final.u, final.v, final.p, mesh,
+        iterations=int(diag["iterations"]),
+        residuals=_np.asarray(diag["residual_history"]),
+        reynolds=re, converged=bool(diag["converged"]),
+    )
+    result.algorithm = args.algorithm.upper()
+    summary = dict(
+        nx=nx, reynolds=re, algorithm=args.algorithm, distributed=True,
+        device_mesh=dict(dmesh.shape), pressure=pres_map[args.pressure],
+        momentum=mom, scheme=args.scheme,
+        iterations=int(diag["iterations"]), converged=bool(diag["converged"]),
+        final_residual=float(diag["final_residual"]),
+        wall_seconds=round(wall, 3), infinity_norm_error=round(err, 5),
+    )
+    return result, summary
+
+
 def _run_case(args, nx, re):
     import jax
     import jax.numpy as jnp
@@ -126,6 +192,9 @@ def _run_case(args, nx, re):
 
     if args.f64:
         jax.config.update("jax_enable_x64", True)
+
+    if getattr(args, "distributed", False):
+        return _run_case_distributed(args, nx, re)
 
     mesh = nf.StructuredMesh(nx=nx, ny=nx)
     fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
