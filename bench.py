@@ -227,7 +227,37 @@ def _numerics_check():
         out["iters_fused"] = iters["auto"]
         out["iters_xla"] = iters["xla"]
         drift = abs(iters["auto"] - iters["xla"]) / max(iters["xla"], 1)
-        out["ok"] = bool(worst < 1e-4 and drift <= 0.05)
+
+        # 3. strip-assembly parity at 512^2 (the bandwidth-regime kernel,
+        # ops/pallas_assembly.py) against the global XLA assembly
+        from naviflow_tpu.core.bc import apply_velocity_bcs
+        from naviflow_tpu.ops.pallas_assembly import (
+            fused_assembly_pair, supports_fused_assembly)
+        from naviflow_tpu.ops.powerlaw import (
+            relax_coefficients, u_momentum_coefficients)
+
+        asm_err = 0.0
+        n5 = 512
+        if supports_fused_assembly(n5, n5, "power_law", jnp.float32, "auto"):
+            m5 = nf.StructuredMesh(nx=n5, ny=n5)
+            s5 = _fresh_state(m5, bc)
+            u5, v5 = apply_velocity_bcs(s5.u, s5.v, bc)
+            kw5 = dict(dx=1.0 / (n5 - 1), dy=1.0 / (n5 - 1), rho=1.0,
+                       mu=1e-3)
+            cu_un, cu_rel, _, _ = jax.jit(
+                lambda u, v, p: fused_assembly_pair(u, v, p, alpha=0.7,
+                                                    **kw5))(u5, v5, s5.p)
+            want_un = u_momentum_coefficients(u5, v5, s5.p, **kw5)
+            want_rel = relax_coefficients(want_un, u5, 0.7)
+            for got, want in ((cu_un, want_un), (cu_rel, want_rel)):
+                for name in ("a_e", "a_w", "a_n", "a_s", "a_p", "src"):
+                    d = float(jnp.max(jnp.abs(getattr(got, name)
+                                              - getattr(want, name))))
+                    s = float(jnp.max(jnp.abs(getattr(want, name)))) + 1e-30
+                    asm_err = max(asm_err, d / s)
+        out["assembly_rel_err_512"] = round(asm_err, 8)
+
+        out["ok"] = bool(worst < 1e-4 and drift <= 0.05 and asm_err < 1e-4)
     except Exception as e:  # pragma: no cover - diagnostic path
         out["error"] = f"{type(e).__name__}: {e}"
     return out
