@@ -419,3 +419,21 @@ def test_chunked_fused_loop_matches_per_step():
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(np.asarray(fc.p), np.asarray(fp.p),
                                rtol=0, atol=1e-13)
+
+
+def test_cli_distributed_run(capsys):
+    """CLI --distributed surface: runs the shard_map solve over the local
+    devices and prints the JSON summary with the device-mesh layout."""
+    import json as _json
+
+    from naviflow_tpu.cli import main
+
+    rc = main(["run", "--nx", "24", "--re", "100", "--distributed",
+               "--tolerance", "1e-3", "--pressure", "cg",
+               "--momentum", "jacobi", "--max-iterations", "1500"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = _json.loads(out)
+    assert summary["distributed"] is True
+    assert summary["converged"]
+    assert summary["device_mesh"] == {"x": 2, "y": 4}
