@@ -110,13 +110,20 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_cli_run(tmp_path):
+    # JAX_PLATFORMS env is overridden by this machine's sitecustomize
+    # (axon tunnel); force CPU via the config update so the test is
+    # hermetic even during tunnel outages
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    argv = ["run", "--nx", "15",
+            "--re", "100", "--pressure", "rbgs", "--momentum", "jacobi",
+            "--tolerance", "1e-3", "--max-iterations", "2000",
+            "--pressure-tol", "1e-6", "--loop", "fused",
+            "--save", str(tmp_path / "sol.npz")]
     out = subprocess.run(
-        [sys.executable, "-m", "naviflow_tpu.cli", "run", "--nx", "15",
-         "--re", "100", "--pressure", "rbgs", "--momentum", "jacobi",
-         "--tolerance", "1e-3", "--max-iterations", "2000",
-         "--pressure-tol", "1e-6", "--loop", "fused",
-         "--save", str(tmp_path / "sol.npz")],
+        [sys.executable, "-c",
+         "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+         "from naviflow_tpu.cli import main; sys.exit(main(sys.argv[1:]))",
+         *argv],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
