@@ -90,14 +90,22 @@ def plane_neighbors_black(other, odd):
 
 
 class PlaneStencil5:
-    """Diagonal-normalized 5-point stencil in plane layout:
-    ``p_new = bh - (eh*E + wh*W + nh*N + sh*S)`` per color."""
+    """5-point stencil + rhs in plane layout, split ONCE (the
+    amortization that makes the layout pay).  Holds both the
+    diagonal-normalized form for sweeps (``p_new = bh - sum(link_hat *
+    neighbor)``) and the raw planes for residuals."""
 
     def __init__(self, st, b):
         from .pallas_mg import _inv_diag
 
         S = (st.c, st.e, st.w, st.n, st.s)
         invc = _inv_diag(S)
+        self.c = split_planes(st.c)
+        self.e = split_planes(st.e)
+        self.w = split_planes(st.w)
+        self.n = split_planes(st.n)
+        self.s = split_planes(st.s)
+        self.b = split_planes(b)
         self.bh = split_planes(b * invc)
         self.eh = split_planes(st.e * invc)
         self.wh = split_planes(st.w * invc)
@@ -120,20 +128,17 @@ def plane_rb_sweep(R, B, ps: PlaneStencil5):
     return R, B
 
 
-def plane_residual(R, B, st, b):
-    """r = b - A p in plane space (full, un-normalized stencil)."""
-    cr, cb = split_planes(st.c)
-    er, eb = split_planes(st.e)
-    wr, wb = split_planes(st.w)
-    nr, nb = split_planes(st.n)
-    sr, sb = split_planes(st.s)
-    br, bb = split_planes(b)
+def plane_residual(R, B, ps: PlaneStencil5):
+    """r = b - A p in plane space (raw, un-normalized planes — split once
+    in :class:`PlaneStencil5`)."""
     m, nc = R.shape
     odd = _row_parity(m, nc)
     e, w, n, s = plane_neighbors(B, odd)
-    rR = br - (cr * R + er * e + wr * w + nr * n + sr * s)
+    rR = ps.b[0] - (ps.c[0] * R + ps.e[0] * e + ps.w[0] * w
+                    + ps.n[0] * n + ps.s[0] * s)
     e, w, n, s = plane_neighbors_black(R, odd)
-    rB = bb - (cb * B + eb * e + wb * w + nb * n + sb * s)
+    rB = ps.b[1] - (ps.c[1] * B + ps.e[1] * e + ps.w[1] * w
+                    + ps.n[1] * n + ps.s[1] * s)
     return rR, rB
 
 
@@ -163,3 +168,39 @@ def plane_prolong_cc(ec):
     ef_R = jnp.where(odd, odd_col, even_col)
     ef_B = jnp.where(odd, even_col, odd_col)
     return ef_R, ef_B
+
+
+# ---------------------------------------------------------------------------
+# Plane-resident fine-level V-cycle pieces (XLA value-level).
+#
+# The point of the layout is AMORTIZATION: the splits (b + the five stencil
+# arrays) happen once per solve, the merge once, and every smoothing
+# half-sweep in between touches half-size arrays with no color-masked waste
+# — halving both the streamed bytes and the VPU arithmetic of the dominant
+# fine-level work.  These helpers keep (R, B) as the fine-level state so
+# the solve's while_loop never materializes the interleaved p.
+# ---------------------------------------------------------------------------
+
+
+def plane_fine_down(R, B, ps: PlaneStencil5, n_pre: int):
+    """Pre-smooth + residual + cc-restriction with a plane-resident fine
+    level.  Returns (R, B, r_coarse) — r_coarse in STANDARD layout."""
+    for _ in range(n_pre):
+        R, B = plane_rb_sweep(R, B, ps)
+    rR, rB = plane_residual(R, B, ps)
+    return R, B, plane_restrict_cc(rR, rB)
+
+
+def plane_fine_up(R, B, ps: PlaneStencil5, ec, n_post: int):
+    """Prolongated coarse correction + post-smoothing, plane-resident."""
+    efR, efB = plane_prolong_cc(ec)
+    R, B = R + efR, B + efB
+    for _ in range(n_post):
+        R, B = plane_rb_sweep(R, B, ps)
+    return R, B
+
+
+def plane_residual_norm(R, B, ps: PlaneStencil5):
+    """||b - A p|| without merging the planes."""
+    rR, rB = plane_residual(R, B, ps)
+    return jnp.sqrt(jnp.sum(rR * rR) + jnp.sum(rB * rB))

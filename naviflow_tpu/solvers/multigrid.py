@@ -109,6 +109,13 @@ class MultigridConfig:
     # unsupported (non-TPU backend, W/FMG cycles, non-GS smoothers,
     # hierarchies over the VMEM budget).  'xla' forces the fallback.
     backend: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    # 'plane': hold the (even, five-point) finest level as red/black color
+    # planes across the whole solve (ops/plane.py) — every smoothing
+    # half-sweep then touches half-size arrays with no color-masked waste,
+    # halving both the streamed bytes and the arithmetic of the dominant
+    # fine-level work; the split/merge conversions amortize to once per
+    # solve.  Opt-in pending hardware measurement vs the strip kernels.
+    fine_layout: str = "interleaved"  # 'interleaved' | 'plane'
     kind: str = "multigrid"
 
 
@@ -425,18 +432,56 @@ def multigrid_solve(
         p, k, rel = carry
         return (k < cfg.max_cycles) & (rel >= cfg.tolerance)
 
-    def body(carry):
-        p, k, _ = carry
-        p = jax.lax.fori_loop(
-            0, cfg.check_every, lambda _, q: _cycle0(q, b, levels, cfg), p
-        )
-        rel = jnp.linalg.norm(b - apply_five(p, st_fine, five_fine)) / safe_bnorm
-        return (p, k + cfg.check_every, rel)
-
-    big = jnp.asarray(jnp.inf, b.dtype)
-    p, cycles, rel = jax.lax.while_loop(
-        cond, body, (p_start, jnp.asarray(0, jnp.int32), big)
+    use_plane = (
+        getattr(cfg, "fine_layout", "interleaved") == "plane"
+        and five_fine and len(levels) > 1
+        and cfg.cycle_type in ("v", "fmg") and cfg.smoother == "gs"
+        and cfg.omega == 1.0
+        and getattr(cfg, "smoother_dtype", "float32") == "float32"
+        and b.shape[0] % 2 == 0 and b.shape[1] % 2 == 0
     )
+    big = jnp.asarray(jnp.inf, b.dtype)
+    if use_plane:
+        from ..ops.plane import (PlaneStencil5, merge_planes,
+                                 plane_fine_down, plane_fine_up,
+                                 plane_residual_norm, split_planes)
+
+        ps = PlaneStencil5(st_fine, b)
+        R0, B0 = split_planes(p_start)
+
+        def cond_p(carry):
+            _, _, k, rel = carry
+            return (k < cfg.max_cycles) & (rel >= cfg.tolerance)
+
+        def one_cycle(RB):
+            R, B = RB
+            R, B, rc = plane_fine_down(R, B, ps, cfg.pre_smoothing)
+            ec = _cycle0(jnp.zeros_like(rc), rc, levels[1:], cfg)
+            return plane_fine_up(R, B, ps, ec, cfg.post_smoothing)
+
+        def body_p(carry):
+            R, B, k, _ = carry
+            R, B = jax.lax.fori_loop(
+                0, cfg.check_every, lambda _, q: one_cycle(q), (R, B))
+            rel = plane_residual_norm(R, B, ps) / safe_bnorm
+            return (R, B, k + cfg.check_every, rel)
+
+        R, B, cycles, rel = jax.lax.while_loop(
+            cond_p, body_p, (R0, B0, jnp.asarray(0, jnp.int32), big))
+        p = merge_planes(R, B)
+    else:
+        def body(carry):
+            p, k, _ = carry
+            p = jax.lax.fori_loop(
+                0, cfg.check_every, lambda _, q: _cycle0(q, b, levels, cfg), p
+            )
+            rel = jnp.linalg.norm(
+                b - apply_five(p, st_fine, five_fine)) / safe_bnorm
+            return (p, k + cfg.check_every, rel)
+
+        p, cycles, rel = jax.lax.while_loop(
+            cond, body, (p_start, jnp.asarray(0, jnp.int32), big)
+        )
     if variant != "reference":
         # Gauge-free (singular) operator: remove the constant mode.  The
         # 'reference' variant folds boundary faces into the diagonal, making

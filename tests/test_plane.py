@@ -75,8 +75,9 @@ def test_plane_sweep_chain_matches(problem):
 
 def test_plane_residual_restrict(problem):
     st, p, b = problem
+    from naviflow_tpu.ops.plane import PlaneStencil5 as PS
     R, B = split_planes(p)
-    rR, rB = plane_residual(R, B, st, b)
+    rR, rB = plane_residual(R, B, PS(st, b))
     want_r = b - apply5(p, st)
     np.testing.assert_allclose(np.asarray(merge_planes(rR, rB)),
                                np.asarray(want_r), rtol=1e-5, atol=1e-5)
@@ -92,3 +93,52 @@ def test_plane_prolong(problem):
     want = prolong_cc(ec)
     np.testing.assert_allclose(np.asarray(merge_planes(efR, efB)),
                                np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_plane_fine_layout_solve_matches(problem):
+    """multigrid_solve with fine_layout='plane' == the interleaved solve:
+    same cycle counts and matching solutions (the plane path is the
+    re-associated same algorithm)."""
+    import dataclasses
+
+    from naviflow_tpu.solvers.multigrid import MultigridConfig, multigrid_solve
+
+    st, p, b = problem
+    # SMOOTH coefficient fields: cell-to-cell random d defeats multigrid
+    # itself (rough-coefficient problem, both layouts stall identically);
+    # realistic d fields are smooth
+    iu = jnp.arange(NX + 1)[:, None] / NX
+    ju = jnp.arange(NX)[None, :] / NX
+    d_u = jnp.asarray(1.0 + 0.4 * jnp.sin(2 * jnp.pi * iu)
+                      * jnp.cos(2 * jnp.pi * ju), jnp.float32)
+    iv = jnp.arange(NX)[:, None] / NX
+    jv = jnp.arange(NX + 1)[None, :] / NX
+    d_v = jnp.asarray(1.0 + 0.4 * jnp.cos(2 * jnp.pi * iv)
+                      * jnp.sin(2 * jnp.pi * jv), jnp.float32)
+    # manufactured COMPATIBLE rhs: a random b generally has a component in
+    # the left-nullspace of the (nonsymmetric-boundary) singular operator,
+    # which no solver can remove — physical continuity defects are
+    # compatible by construction, so build b = A x_true
+    from naviflow_tpu.ops.poisson import poisson_coefficients
+    from naviflow_tpu.ops.stencil9 import from_poisson as _fp
+
+    st_t = _fp(poisson_coefficients(d_u, d_v, dx=1.0 / NX, dy=1.0 / NX,
+                                    rho=1.0, variant="consistent"))
+    rngb = np.random.default_rng(12)
+    x_true = jnp.asarray(rngb.normal(size=(NX, NX)), jnp.float32)
+    b0 = apply5(x_true, st_t)
+    cfg = MultigridConfig(tolerance=1e-5, max_cycles=60, check_every=2,
+                          pre_smoothing=2, post_smoothing=2, smoother="gs",
+                          backend="xla")
+    kw = dict(dx=1.0 / NX, dy=1.0 / NX, rho=1.0)
+    p_i, info_i = multigrid_solve(b0, d_u, d_v, jnp.zeros_like(b0), cfg, **kw)
+    cfg_p = dataclasses.replace(cfg, fine_layout="plane")
+    p_p, info_p = multigrid_solve(b0, d_u, d_v, jnp.zeros_like(b0), cfg_p, **kw)
+    assert int(info_i.iterations) == int(info_p.iterations)
+    assert float(info_p.rel_residual) < 1e-5
+    # the singular (gauge-free) system is ill-conditioned: two solvers at
+    # rel-residual 1e-6 may differ by ~cond * 1e-6 in the low modes, so
+    # compare relative to the solution scale
+    scale = float(jnp.max(jnp.abs(p_i)))
+    diff = float(jnp.max(jnp.abs(p_p - p_i)))
+    assert diff < 2e-3 * scale, (diff, scale)
