@@ -155,6 +155,14 @@ def main():
     row["numerics"] = _numerics_check()
     row["numerics_ok"] = bool(row["numerics"].get("ok"))
 
+    # ---- distributed-path certification on the real silicon (round-3
+    # verdict #6): the shard_map step (windowed assembly, masked sweeps,
+    # psum/ppermute collectives) has CPU-mesh tests but must also LOWER and
+    # compute correctly on the actual TPU — run it on a 1x1 mesh of this
+    # device and compare a short trajectory against the single-device step.
+    row["distributed"] = _distributed_check()
+    row["distributed_ok"] = bool(row["distributed"].get("ok"))
+
     print(json.dumps(row))
 
 
@@ -263,6 +271,53 @@ def _numerics_check():
     return out
 
 
+def _distributed_check(nx=64, n_steps=5):
+    """Short-trajectory parity between the distributed step (shard_map over
+    a 1x1 mesh of the current device: windowed assembly with global-index
+    masks, masked Jacobi momentum, Jacobi-PCG pressure with psum dots) and
+    the plain single-device step.  On a 1-device mesh the distributed code
+    computes the same arithmetic, so after a few outer iterations the fields
+    must agree to f32 roundoff; a large divergence means the distributed
+    program miscompiled on this backend (cf. the commit-7b886eb bf16-MXU
+    episode — exactly the class of failure CPU-mesh tests cannot catch)."""
+    import jax.numpy as jnp
+    import naviflow_tpu as nf
+    from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
+    from naviflow_tpu.parallel.dist_simple import (DistributedConfig,
+                                                   distributed_simple_solve)
+    from naviflow_tpu.parallel.sharding import make_device_mesh
+    from naviflow_tpu.solvers import CGPressureConfig, JacobiMomentumConfig
+
+    out = {"ok": False}
+    try:
+        mesh = nf.StructuredMesh(nx=nx, ny=nx)
+        fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+        bc = nf.lid_driven_cavity(1.0)
+        state = nf.initialize_state(mesh, bc)
+
+        dmesh = make_device_mesh(1)
+        fd, dd = distributed_simple_solve(
+            mesh, fluid, bc, state, dmesh,
+            DistributedConfig(max_iterations=n_steps, tolerance=0.0,
+                              momentum_sweeps=2, pressure_solver="cg",
+                              pressure_tol=1e-6, pressure_max_iter=200,
+                              check_every=n_steps))
+        fs, _ = simple_solve(
+            mesh, fluid, bc, state,
+            SIMPLEConfig(max_iterations=n_steps, tolerance=0.0),
+            momentum=JacobiMomentumConfig(n_sweeps=2),
+            pressure=CGPressureConfig(tolerance=1e-6, max_iterations=200),
+            loop="fused")
+        diff = max(float(jnp.max(jnp.abs(fd.u - fs.u))),
+                   float(jnp.max(jnp.abs(fd.v - fs.v))))
+        out["max_uv_diff"] = round(diff, 9)
+        out["final_residual"] = float(dd["final_residual"])
+        out["ok"] = bool(diff < 1e-4 and jnp.isfinite(diff))
+    except Exception as e:  # pragma: no cover - diagnostic path
+        out["error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 def _bench_large_grid(nx, re, n_iters=30):
     """Measured full-SIMPLE-step throughput at ``nx^2``: a fixed fused block
     of ``n_iters`` outer iterations (one bounded program — tunneled workers
@@ -352,24 +407,17 @@ def _bench_sequenced():
     }))
 
 
-if __name__ == "__main__":
-    # keep stdout clean for the one JSON line
-    import warnings
+def _run_child():
+    """One measurement attempt: bounded backend preflight IN A SUBPROCESS
+    (a dead axon tunnel hangs device initialization in uninterruptible C
+    code — SIGALRM never fires), then the measurements."""
+    import subprocess
 
-    warnings.filterwarnings("ignore")
-    os.environ.setdefault("JAX_LOG_COMPILES", "0")
     try:
-        # bounded backend preflight IN A SUBPROCESS: a dead axon tunnel
-        # hangs device initialization in uninterruptible C code (SIGALRM
-        # never fires), so probe in a child with a kill timeout and fail
-        # fast so the round artifact records the outage
-        import subprocess
-        import sys as _sys
-
         try:
             probe = subprocess.run(
-                [_sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=180)
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=150)
             if probe.returncode != 0:
                 raise RuntimeError(
                     "TPU backend init failed: "
@@ -379,12 +427,77 @@ if __name__ == "__main__":
                                "(axon tunnel unavailable)")
         main()
     except Exception as e:  # pragma: no cover
-        # keep the per-round BENCH artifact machine-readable even when the
-        # TPU tunnel is unavailable (multi-hour axon outages observed):
-        # one JSON line with the failure instead of a traceback
         print(json.dumps({
             "metric": "wall_clock_to_0.001_residual_63x63_Re100_GMG_SIMPLE",
             "value": None, "unit": "s", "vs_baseline": None,
             "error": f"{type(e).__name__}: {str(e)[:300]}",
         }))
         raise SystemExit(1)
+
+
+def _run_with_retries():
+    """Bounded retry/backoff across the capture window (round-3 verdict
+    weak #2: one tunnel-outage window must not wipe the round's number of
+    record).  Each attempt runs the whole bench in a subprocess with a kill
+    timeout; the parent relays the first attempt that produced a real
+    value, else emits one machine-readable error row listing every attempt.
+
+    Env knobs: BENCH_RETRIES (3), BENCH_RETRY_WAIT (180 s between
+    attempts), BENCH_CHILD_TIMEOUT (900 s per attempt), BENCH_DEADLINE_S
+    (2700 s total across the window)."""
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_RETRIES", 3))
+    wait_s = float(os.environ.get("BENCH_RETRY_WAIT", 180))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", 900))
+    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE_S", 2700))
+    errors = []
+    for i in range(attempts):
+        budget = min(child_timeout, max(60.0, deadline - time.time()))
+        lines, r = [], None
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, timeout=budget, text=True)
+            lines = [ln for ln in r.stdout.strip().splitlines()
+                     if ln.startswith("{")]
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {i + 1}: killed after {budget:.0f}s")
+        row = None
+        if lines:
+            try:
+                row = json.loads(lines[-1])
+            except ValueError:
+                pass
+        if row is not None and row.get("value") is not None:
+            print(lines[-1])
+            return 0
+        if row is not None:
+            errors.append(f"attempt {i + 1}: {row.get('error', 'no value')}")
+        elif r is not None:
+            errors.append(f"attempt {i + 1}: rc={r.returncode}, no JSON "
+                          f"({(r.stderr or '')[-120:]})")
+        if i < attempts - 1:
+            if time.time() + wait_s >= deadline:
+                errors.append("capture-window deadline reached; "
+                              "no further retries")
+                break
+            time.sleep(wait_s)
+    print(json.dumps({
+        "metric": "wall_clock_to_0.001_residual_63x63_Re100_GMG_SIMPLE",
+        "value": None, "unit": "s", "vs_baseline": None,
+        "error": "; ".join(errors)[:600],
+    }))
+    return 1
+
+
+if __name__ == "__main__":
+    # keep stdout clean for the one JSON line
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    os.environ.setdefault("JAX_LOG_COMPILES", "0")
+    if "--child" in sys.argv:
+        _run_child()
+    else:
+        raise SystemExit(_run_with_retries())
