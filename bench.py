@@ -293,7 +293,11 @@ def _distributed_check(nx=64, n_steps=5):
         mesh = nf.StructuredMesh(nx=nx, ny=nx)
         fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
         bc = nf.lid_driven_cavity(1.0)
+        # each solve gets its OWN initial state: both loop harnesses donate
+        # their carries, so sharing one state means the second solve reads
+        # deleted buffers ("Array has been deleted", measured on hardware)
         state = nf.initialize_state(mesh, bc)
+        state2 = nf.initialize_state(mesh, bc)
 
         dmesh = make_device_mesh(1)
         fd, dd = distributed_simple_solve(
@@ -303,7 +307,7 @@ def _distributed_check(nx=64, n_steps=5):
                               pressure_tol=1e-6, pressure_max_iter=200,
                               check_every=n_steps))
         fs, _ = simple_solve(
-            mesh, fluid, bc, state,
+            mesh, fluid, bc, state2,
             SIMPLEConfig(max_iterations=n_steps, tolerance=0.0),
             momentum=JacobiMomentumConfig(n_sweeps=2),
             pressure=CGPressureConfig(tolerance=1e-6, max_iterations=200),

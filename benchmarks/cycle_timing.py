@@ -174,6 +174,70 @@ def run_breakdown(nx=63):
                    ms_per_iteration=round(ms, 3)))
 
 
+def run_layout():
+    """Full-SIMPLE-step cost at 2048^2/4096^2 with the fine level
+    interleaved vs plane-resident (round-4 verdict #3: un-gate the large
+    grids — plane is the fine-level path where the Mosaic window cap
+    forces strips off)."""
+    for nx, n_iters in ((2048, 12), (4096, 6)):
+        for layout in ("interleaved", "plane"):
+            pres = MultigridConfig(tolerance=1e-2, max_cycles=8,
+                                   cycle_type="v", check_every=2,
+                                   coarsest_sweeps=32, coarse_rebuild_every=8,
+                                   fine_layout=layout)
+            ms = time_step_block(nx, pres, n_iters, re=1000.0)
+            _emit(dict(kind="fine-layout", nx=nx, fine_layout=layout,
+                       ms_per_iteration=round(ms, 3)))
+
+
+def run_algos():
+    """Whole-step fused kernels for SIMPLEC/PISO/SIMPLER vs their XLA
+    paths (round-4: the fused step is no longer SIMPLE-only) — paired
+    auto-vs-XLA ms/iter at the latency-bound sizes."""
+    from naviflow_tpu.algorithms import (PISOConfig, SIMPLECConfig,
+                                         SIMPLERConfig, piso_solve,
+                                         simplec_solve, simpler_solve)
+
+    algos = (("simplec", SIMPLECConfig, simplec_solve),
+             ("piso", PISOConfig, piso_solve),
+             ("simpler", SIMPLERConfig, simpler_solve))
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    for nx in (63, 127, 255):
+        n_iters = 100 if nx <= 127 else 50
+        for name, AlgoCfg, algo_solve in algos:
+            for backend in ("xla", "auto"):
+                pres = MultigridConfig(tolerance=1e-2, max_cycles=6,
+                                       cycle_type="v", check_every=2,
+                                       coarsest_sweeps=8,
+                                       coarse_rebuild_every=8,
+                                       backend=backend)
+                mesh = nf.StructuredMesh(nx=nx, ny=nx)
+                fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+                bc = nf.lid_driven_cavity(1.0)
+                cfg = AlgoCfg(max_iterations=n_iters, tolerance=0.0)
+                solve = lambda s: algo_solve(mesh, fluid, bc, s, cfg,
+                                             momentum=mom, pressure=pres,
+                                             loop="fused")
+                seed = struct.unpack("<I", os.urandom(4))[0]
+                noise = jax.random.uniform(jax.random.PRNGKey(seed),
+                                           mesh.p_shape, jnp.float32,
+                                           0.0, 1e-7)
+                state = nf.initialize_state(mesh, bc)
+                state = state.replace(p=state.p + noise)
+                out, _ = solve(state)
+                walls = []
+                for _ in range(3):
+                    float(jnp.sum(out.p))
+                    t0 = time.perf_counter()
+                    out, diag = solve(out)
+                    float(diag.final_residual)
+                    walls.append(time.perf_counter() - t0)
+                ms = sorted(walls)[1] / n_iters * 1e3
+                _emit(dict(kind="algo-step", nx=nx, algo=name,
+                           backend=backend, ms_per_iteration=round(ms, 3),
+                           final_residual=float(diag.final_residual)))
+
+
 if __name__ == "__main__":
     import warnings
 
@@ -187,5 +251,9 @@ if __name__ == "__main__":
         run_momlite()
     elif which == "breakdown":
         run_breakdown()
+    elif which == "layout":
+        run_layout()
+    elif which == "algos":
+        run_algos()
     else:
         raise SystemExit(f"unknown mode: {which}")

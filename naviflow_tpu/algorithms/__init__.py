@@ -3,6 +3,7 @@ from .batch import batched_cavity_solve
 from .simple import SIMPLEConfig, simple_solve
 from .simplec import SIMPLECConfig, simplec_solve
 from .simpler import SIMPLERConfig, simpler_solve
+from .newton import NewtonConfig, NewtonDiagnostics, newton_solve
 from .piso import PISOConfig, piso_solve
 from .sequencing import (
     build_ladder,

@@ -1,0 +1,309 @@
+"""Steady Newton–Krylov (JFNK) solver for the coupled momentum+continuity
+system.
+
+Capability the reference lacks entirely: its SIMPLE-family solvers never
+converged ANY scheme at Re >= 7500 on 511^2
+(``/root/reference/main_scripts/05 geo_multigrid/results/notConverged/511/``),
+and this framework's own measured limit is the same physics — the
+lid-driven cavity's steady branch loses stability near Re~8000 (Hopf
+bifurcation), so the *fixed-point* SIMPLE iteration limit-cycles at
+~5e-5 with the accuracy-resolving QUICK/LUDS schemes (BENCHMARKS.md
+round-3 scale runs).  Newton's method has no such stability restriction:
+it converges to the steady branch whether or not that branch is stable,
+which is exactly ROADMAP #2's named fix.
+
+Formulation
+-----------
+Unknown w = (u, v, p) on the staggered grid.  Residual F(w):
+
+* momentum blocks: the *unrelaxed* discrete momentum residuals
+  ``src(u,v,p) - A(u,v) x`` on interior nodes (identical arithmetic to the
+  convergence norms of the SIMPLE loop — ``solvers/momentum.py``
+  ``_unrelaxed_residual`` — so Newton's reported norms are directly
+  comparable to the outer-loop stall levels);
+* continuity block: the mean-projected continuity defect
+  ``pressure_rhs(u, v)`` (the p-gauge invariance F(w + c·e_p) = F(w)
+  makes the all-ones pressure direction an exact Jacobian null vector;
+  projecting the continuity residual's mean removes the matching left
+  null vector).
+
+Jacobian-vector products are EXACT via ``jax.linearize`` (forward-mode AD
+through the full nonlinear assembly — power-law/QUICK coefficients
+included), not finite differences: one linearization per Newton step,
+reused across all GMRES iterations.  TPU-native: the linearized residual
+is the same stencil arithmetic as F itself, all fused by XLA.
+
+The linear solve is right-preconditioned restarted GMRES
+(``solvers/krylov.gmres_solve`` on the flattened state) with a
+SIMPLE-type block preconditioner frozen at the current Newton iterate:
+
+  M r = [du = r_u / a_p;  dv = r_v / a_p;
+         dp = MG-solve(L(d_u,d_v) dp = r_c - div(du,dv));
+         du,dv -= d * grad dp]
+
+i.e. one linearized SIMPLE iteration — diagonal momentum solve plus one
+multigrid pressure-projection — which is the classical SIMPLE
+preconditioner for the incompressible Navier–Stokes saddle-point system.
+
+Globalization: backtracking line search on ||F|| (halve the step until
+monotone decrease, ``max_backtracks`` tries), plus optional pseudo-
+transient continuation handled by the caller through Reynolds/grid
+continuation (``benchmarks/scale_runs.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bc import BoundaryConditions, apply_velocity_bcs
+from ..core.fluid import FluidProperties
+from ..core.mesh import StructuredMesh
+from ..core.state import FlowState
+from ..ops.poisson import poisson_coefficients, pressure_rhs
+from ..ops.powerlaw import d_coefficient
+from ..solvers.krylov import gmres_solve
+from ..solvers.momentum import (_assemble_coeffs, _unrelaxed_residual,
+                                _u_interior_mask, _v_interior_mask)
+from ..solvers.multigrid import MultigridConfig, multigrid_solve
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonDiagnostics:
+    """Newton-run record.  ``final_residual`` is max(||r_u||, ||r_v||) —
+    the same interior-L2 unrelaxed momentum norms the SIMPLE-family outer
+    loops converge on, so Newton results compare directly against the
+    outer-loop stall levels in BENCHMARKS.md."""
+
+    converged: bool
+    iterations: int
+    final_residual: float
+    residual_history: tuple
+    gmres_iterations: int
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonConfig:
+    """JFNK configuration (all fields static -> one compiled program)."""
+
+    max_newton: int = 40
+    # convergence on max(||r_u||, ||r_v||) — the same interior-L2
+    # unrelaxed momentum norms the SIMPLE outer loop converges on
+    tolerance: float = 1e-5
+    scheme: str = "quick"  # momentum discretization: power_law|quick|luds
+    # inexact-Newton forcing: GMRES solves to ||J d + F|| <= eta ||F||
+    gmres_tol: float = 1e-2
+    gmres_restart: int = 30
+    gmres_maxiter: int = 240
+    max_backtracks: int = 5
+    # preconditioner MG solve (frozen coefficients, loose tolerance)
+    precond_cycles: int = 4
+    # under-relaxation of the *first* Newton steps when starting far from
+    # the solution (1.0 = full Newton); the line search handles the rest
+    initial_damping: float = 1.0
+
+
+def _flatten(u, v, p):
+    return jnp.concatenate([u.ravel(), v.ravel(), p.ravel()])
+
+
+def _unflatten(w, su, sv, sp):
+    nu = su[0] * su[1]
+    nv = sv[0] * sv[1]
+    u = w[:nu].reshape(su)
+    v = w[nu:nu + nv].reshape(sv)
+    p = w[nu + nv:].reshape(sp)
+    return u, v, p
+
+
+def make_residual(*, dx, dy, rho, mu, bc: BoundaryConditions, scheme: str,
+                  su, sv, sp):
+    """Flat residual F: R^N -> R^N (momentum blocks + projected
+    continuity block).  Differentiable end-to-end."""
+    u_mask = _u_interior_mask(su)
+    v_mask = _v_interior_mask(sv)
+
+    def F(w):
+        u, v, p = _unflatten(w, su, sv, sp)
+        u, v = apply_velocity_bcs(u, v, bc)
+        c_u = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                               scheme=scheme, is_u=True)
+        c_v = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                               scheme=scheme, is_u=False)
+        from ..solvers.momentum import _apply
+
+        r_u = jnp.where(u_mask, c_u.src - _apply(u, c_u), 0.0)
+        r_v = jnp.where(v_mask, c_v.src - _apply(v, c_v), 0.0)
+        r_c = pressure_rhs(u, v, dx=dx, dy=dy, rho=rho, pin=False)
+        r_c = r_c - jnp.mean(r_c)  # project the left null vector
+        return _flatten(r_u, r_v, r_c)
+
+    return F
+
+
+def make_preconditioner(u, v, p, *, dx, dy, rho, mu, bc, scheme,
+                        pres_cfg: MultigridConfig, su, sv, sp):
+    """SIMPLE-type block preconditioner frozen at the Newton iterate
+    (u, v, p): diagonal momentum solve + one MG pressure projection."""
+    ub, vb = apply_velocity_bcs(u, v, bc)
+    c_u = _assemble_coeffs(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                           scheme=scheme, is_u=True)
+    c_v = _assemble_coeffs(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                           scheme=scheme, is_u=False)
+    inv_ap_u = jnp.where(c_u.a_p > 0, 1.0 / c_u.a_p, 0.0)
+    inv_ap_v = jnp.where(c_v.a_p > 0, 1.0 / c_v.a_p, 0.0)
+    # d-coefficients of the UNRELAXED system (alpha folded out: Newton works
+    # on the true equations, not the relaxed ones)
+    d_u = d_coefficient(c_u.a_p, dy, is_u=True)
+    d_v = d_coefficient(c_v.a_p, dx, is_u=False)
+    u_mask = _u_interior_mask(su)
+    v_mask = _v_interior_mask(sv)
+
+    def M(r):
+        r_u, r_v, r_c = _unflatten(r, su, sv, sp)
+        du = jnp.where(u_mask, r_u * inv_ap_u, 0.0)
+        dv = jnp.where(v_mask, r_v * inv_ap_v, 0.0)
+        # continuity defect of the diagonal-solved velocities: the Poisson
+        # projection must account for the divergence the du,dv introduce.
+        # pressure_rhs computes rho * net-outflux of (du, dv); the RHS of
+        # L dp = r_c - div is exactly that defect subtracted.
+        div_duv = pressure_rhs(du, dv, dx=dx, dy=dy, rho=rho, pin=False)
+        rhs = r_c - div_duv
+        rhs = rhs - jnp.mean(rhs)
+        dp, _ = multigrid_solve(rhs, d_u, d_v, jnp.zeros(sp, rhs.dtype),
+                                pres_cfg, dx=dx, dy=dy, rho=rho,
+                                variant="consistent")
+        # velocity correction du += d * grad dp (signs as update_velocity)
+        grad_u = jnp.pad(dp[:-1, :] - dp[1:, :], ((1, 1), (0, 0)))
+        grad_v = jnp.pad(dp[:, :-1] - dp[:, 1:], ((0, 0), (1, 1)))
+        du = jnp.where(u_mask, du + d_u * grad_u, du)
+        dv = jnp.where(v_mask, dv + d_v * grad_v, dv)
+        dp = dp - jnp.mean(dp)
+        return _flatten(du, dv, dp)
+
+    return M
+
+
+@functools.lru_cache(maxsize=16)
+def _build_newton_step(su, sv, sp, dx, dy, rho, mu, bc, cfg: NewtonConfig,
+                       pres_cfg: MultigridConfig):
+    """One jitted Newton step: linearize F at w, GMRES-solve J d = -F,
+    line-search the update.  Returns (w', norms, gmres_iters, n_backtracks)."""
+    F = make_residual(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, scheme=cfg.scheme,
+                      su=su, sv=sv, sp=sp)
+
+    def mom_norms(w):
+        """The SIMPLE-comparable convergence norms at w: interior L2 of the
+        unrelaxed momentum residuals."""
+        u, v, p = _unflatten(w, su, sv, sp)
+        u, v = apply_velocity_bcs(u, v, bc)
+        c_u = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                               scheme=cfg.scheme, is_u=True)
+        c_v = _assemble_coeffs(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
+                               scheme=cfg.scheme, is_u=False)
+        _, un = _unrelaxed_residual(u, c_u, is_u=True)
+        _, vn = _unrelaxed_residual(v, c_v, is_u=False)
+        return jnp.maximum(un, vn)
+
+    @jax.jit
+    def newton_step(w, damping):
+        Fw, jvp = jax.linearize(F, w)
+        u, v, p = _unflatten(w, su, sv, sp)
+        M = make_preconditioner(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, scheme=cfg.scheme,
+            pres_cfg=pres_cfg, su=su, sv=sv, sp=sp)
+        d, _, k = gmres_solve(-Fw, jvp, M, jnp.zeros_like(w),
+                              cfg.gmres_tol, cfg.gmres_maxiter,
+                              cfg.gmres_restart)
+        f0 = jnp.linalg.norm(Fw)
+
+        # backtracking line search on ||F|| (monotone decrease)
+        def try_step(lam):
+            wn = w + lam * d
+            return wn, jnp.linalg.norm(F(wn))
+
+        def body(carry):
+            lam, wn, fn, n = carry
+            lam = lam * 0.5
+            wn, fn = try_step(lam)
+            return lam, wn, fn, n + 1
+
+        def cond(carry):
+            lam, wn, fn, n = carry
+            return (fn >= f0) & (n < cfg.max_backtracks)
+
+        w1, f1 = try_step(damping)
+        lam, w1, f1, n_bt = jax.lax.while_loop(
+            cond, body, (damping, w1, f1, jnp.asarray(0, jnp.int32)))
+        return w1, mom_norms(w1), f1, f0, k, n_bt
+
+    return newton_step, F, mom_norms
+
+
+def newton_solve(
+    mesh: StructuredMesh,
+    fluid: FluidProperties,
+    bc: BoundaryConditions,
+    state: FlowState,
+    cfg: NewtonConfig = NewtonConfig(),
+    pressure: MultigridConfig | None = None,
+    verbose: bool = False,
+) -> Tuple[FlowState, NewtonDiagnostics]:
+    """Run Newton–Krylov from ``state`` (typically a SIMPLE-preconverged or
+    continuation state) until ``max(||r_u||, ||r_v||) <= cfg.tolerance``.
+
+    Host-driven outer loop (a handful of iterations, each one jitted
+    program); returns :class:`NewtonDiagnostics` (residual metric
+    identical to the SIMPLE-family convergence norms).
+    """
+    dx, dy = mesh.get_cell_sizes()
+    rho, mu = fluid.get_density(), fluid.get_viscosity()
+    pres_cfg = pressure or MultigridConfig(
+        tolerance=1e-3, max_cycles=12, check_every=4)
+    pres_cfg = dataclasses.replace(pres_cfg, max_cycles=max(
+        pres_cfg.max_cycles, cfg.precond_cycles))
+
+    su, sv, sp = state.u.shape, state.v.shape, state.p.shape
+    newton_step, F, mom_norms = _build_newton_step(
+        su, sv, sp, dx, dy, rho, mu, bc, cfg, pres_cfg)
+
+    u, v = apply_velocity_bcs(state.u, state.v, bc)
+    w = _flatten(u, v, state.p)
+    norm0 = float(mom_norms(w))
+    history = [norm0]
+    converged = False
+    total_gmres = 0
+    it = 0
+    for it in range(1, cfg.max_newton + 1):
+        damping = jnp.asarray(
+            cfg.initial_damping if it <= 2 else 1.0, w.dtype)
+        w, norm, f1, f0, k, n_bt = newton_step(w, damping)
+        norm = float(norm)
+        total_gmres += int(k)
+        history.append(norm)
+        if verbose:
+            print(f"newton it {it}: mom_norm {norm:.3e}  ||F|| "
+                  f"{float(f0):.3e}->{float(f1):.3e}  gmres {int(k)}  "
+                  f"backtracks {int(n_bt)}", flush=True)
+        if not jnp.isfinite(jnp.asarray(norm)):
+            break
+        if norm <= cfg.tolerance:
+            converged = True
+            break
+
+    u, v, p = _unflatten(w, su, sv, sp)
+    u, v = apply_velocity_bcs(u, v, bc)
+    p = p - jnp.mean(p)
+    final = FlowState(u=u, v=v, p=p)
+    diag = NewtonDiagnostics(
+        converged=bool(converged),
+        iterations=it,
+        final_residual=history[-1],
+        residual_history=tuple(history),
+        gmres_iterations=total_gmres,
+    )
+    return final, diag

