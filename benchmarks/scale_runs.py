@@ -222,7 +222,7 @@ def run_newton_511(re_target, scheme="quick", nx=511):
     final, ndiag = newton_solve(
         mesh, fluid, bc, state,
         NewtonConfig(tolerance=1e-5, scheme=scheme, max_newton=30,
-                     gmres_tol=1e-2, gmres_restart=30, gmres_maxiter=240),
+                     gmres_tol=1e-2, gmres_restart=60, gmres_maxiter=240),
         pressure=MultigridConfig(tolerance=1e-3, max_cycles=12,
                                  check_every=4, coarsest_sweeps=48),
         verbose=True,

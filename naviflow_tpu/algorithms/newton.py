@@ -45,10 +45,17 @@ i.e. one linearized SIMPLE iteration — diagonal momentum solve plus one
 multigrid pressure-projection — which is the classical SIMPLE
 preconditioner for the incompressible Navier–Stokes saddle-point system.
 
-Globalization: backtracking line search on ||F|| (halve the step until
-monotone decrease, ``max_backtracks`` tries), plus optional pseudo-
-transient continuation handled by the caller through Reynolds/grid
-continuation (``benchmarks/scale_runs.py``).
+Globalization: pseudo-transient continuation (Kelley & Keyes, SINUM 1998
+— "Convergence analysis of pseudo-transient continuation") with the SER
+timestep schedule, plus a backtracking line search on ||F|| (halve the
+step until monotone decrease, ``max_backtracks`` tries).  PTC is
+load-bearing twice over: (a) the raw steady Jacobian past the Hopf point
+is so ill-conditioned that even unrestarted f64 GMRES(240) stagnates at
+~0.7 relative residual (measured round 4, 127^2-255^2), while the
+rho*vol/dtau-shifted systems are SIMPLE-preconditionable; (b) the early
+implicit-Euler-like steps march through the unstable oscillatory modes
+that defeat every fixed-point iteration.  Reynolds/grid continuation
+composes on top (``benchmarks/scale_runs.py``).
 """
 
 from __future__ import annotations
@@ -97,14 +104,36 @@ class NewtonConfig:
     scheme: str = "quick"  # momentum discretization: power_law|quick|luds
     # inexact-Newton forcing: GMRES solves to ||J d + F|| <= eta ||F||
     gmres_tol: float = 1e-2
-    gmres_restart: int = 30
+    # the preconditioned Jacobian is strongly non-normal (its 31^2 spectrum
+    # clusters at +1 in [0.7, 2.3] yet restarted GMRES(30) still needs
+    # hundreds of steps at >=127^2) — longer recurrences pay
+    gmres_restart: int = 60
     gmres_maxiter: int = 240
     max_backtracks: int = 5
     # preconditioner MG solve (frozen coefficients, loose tolerance)
     precond_cycles: int = 4
+    # Jacobi sweeps on the momentum blocks inside the preconditioner (1 =
+    # the pure diagonal solve; >1 sweeps the frozen momentum stencil, which
+    # preconditions the convection coupling the diagonal misses — needed at
+    # fine grids / high Re where GMRES otherwise stagnates)
+    momentum_sweeps: int = 1
     # under-relaxation of the *first* Newton steps when starting far from
     # the solution (1.0 = full Newton); the line search handles the rest
     initial_damping: float = 1.0
+    # pseudo-transient continuation (Kelley & Keyes, SINUM 1998): solve
+    # (rho dx dy / dtau + J) d = -F with the SER schedule
+    # dtau_k = dtau0 * ||F_0|| / ||F_k|| (per-step growth clamped).  The
+    # diagonal shift makes the momentum block dominant, which the SIMPLE
+    # preconditioner captures — measured round 4: the UNSHIFTED Newton
+    # Jacobian at >=127^2 stagnates even full(!) f64 GMRES at lin_rel ~0.7,
+    # while the shifted systems solve to 1e-2 in a few dozen iterations.
+    # As dtau -> inf this recovers plain Newton, so the endgame is still
+    # quadratic; the implicit-Euler character of the early steps is also
+    # exactly what steps PAST an unstable (post-Hopf) steady branch.
+    # dtau0 = 0 disables (plain Newton).
+    dtau0: float = 0.5
+    dtau_max: float = 1e8
+    ser_growth: float = 4.0
 
 
 def _flatten(u, v, p):
@@ -136,8 +165,16 @@ def make_residual(*, dx, dy, rho, mu, bc: BoundaryConditions, scheme: str,
                                scheme=scheme, is_u=False)
         from ..solvers.momentum import _apply
 
-        r_u = jnp.where(u_mask, c_u.src - _apply(u, c_u), 0.0)
-        r_v = jnp.where(v_mask, c_v.src - _apply(v, c_v), 0.0)
+        # ORIENTATION MATTERS: momentum rows are A u - src (not the SIMPLE
+        # defect src - A u), so the Jacobian's momentum block is +A-like.
+        # With the defect orientation J ~ -A and the SIMPLE preconditioner
+        # (which approximates +A^{-1}) produces a mixed-sign AM spectrum
+        # straddling zero — measured round 4 at 31^2: ~90% of eigenvalues
+        # with NEGATIVE real part, GMRES stagnating at 0.7-1.0 relative
+        # residual even unrestarted in f64.  The norm is sign-invariant, so
+        # convergence reporting is unchanged.
+        r_u = jnp.where(u_mask, _apply(u, c_u) - c_u.src, 0.0)
+        r_v = jnp.where(v_mask, _apply(v, c_v) - c_v.src, 0.0)
         r_c = pressure_rhs(u, v, dx=dx, dy=dy, rho=rho, pin=False)
         r_c = r_c - jnp.mean(r_c)  # project the left null vector
         return _flatten(r_u, r_v, r_c)
@@ -146,33 +183,53 @@ def make_residual(*, dx, dy, rho, mu, bc: BoundaryConditions, scheme: str,
 
 
 def make_preconditioner(u, v, p, *, dx, dy, rho, mu, bc, scheme,
-                        pres_cfg: MultigridConfig, su, sv, sp):
+                        pres_cfg: MultigridConfig, su, sv, sp,
+                        momentum_sweeps: int = 1, ap_shift=0.0):
     """SIMPLE-type block preconditioner frozen at the Newton iterate
-    (u, v, p): diagonal momentum solve + one MG pressure projection."""
+    (u, v, p): ``momentum_sweeps`` Jacobi sweeps on the frozen momentum
+    stencils + one MG pressure projection.  ``ap_shift`` (traced scalar)
+    adds the pseudo-transient rho*dx*dy/dtau mass term to the momentum
+    diagonal so M matches the shifted operator GMRES solves."""
     ub, vb = apply_velocity_bcs(u, v, bc)
     c_u = _assemble_coeffs(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
                            scheme=scheme, is_u=True)
     c_v = _assemble_coeffs(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
                            scheme=scheme, is_u=False)
-    inv_ap_u = jnp.where(c_u.a_p > 0, 1.0 / c_u.a_p, 0.0)
-    inv_ap_v = jnp.where(c_v.a_p > 0, 1.0 / c_v.a_p, 0.0)
-    # d-coefficients of the UNRELAXED system (alpha folded out: Newton works
-    # on the true equations, not the relaxed ones)
-    d_u = d_coefficient(c_u.a_p, dy, is_u=True)
-    d_v = d_coefficient(c_v.a_p, dx, is_u=False)
+    ap_u = c_u.a_p + ap_shift
+    ap_v = c_v.a_p + ap_shift
+    inv_ap_u = jnp.where(c_u.a_p > 0, 1.0 / ap_u, 0.0)
+    inv_ap_v = jnp.where(c_v.a_p > 0, 1.0 / ap_v, 0.0)
+    # d-coefficients of the UNRELAXED (but pseudo-time-shifted) system
+    # (alpha folded out: Newton works on the true equations, not the
+    # relaxed ones)
+    d_u = d_coefficient(ap_u, dy, is_u=True)
+    d_v = d_coefficient(ap_v, dx, is_u=False)
     u_mask = _u_interior_mask(su)
     v_mask = _v_interior_mask(sv)
+
+    from ..solvers.momentum import _apply
 
     def M(r):
         r_u, r_v, r_c = _unflatten(r, su, sv, sp)
         du = jnp.where(u_mask, r_u * inv_ap_u, 0.0)
         dv = jnp.where(v_mask, r_v * inv_ap_v, 0.0)
-        # continuity defect of the diagonal-solved velocities: the Poisson
-        # projection must account for the divergence the du,dv introduce.
-        # pressure_rhs computes rho * net-outflux of (du, dv); the RHS of
-        # L dp = r_c - div is exactly that defect subtracted.
+        for _ in range(momentum_sweeps - 1):
+            du = jnp.where(
+                u_mask,
+                du + (r_u - _apply(du, c_u) - ap_shift * du) * inv_ap_u, 0.0)
+            dv = jnp.where(
+                v_mask,
+                dv + (r_v - _apply(dv, c_v) - ap_shift * dv) * inv_ap_v, 0.0)
+        # continuity: we need D(du_final) = r_c where D = pressure_rhs and
+        # du_final = du0 + d grad dp.  The library Poisson operator satisfies
+        # pressure_rhs(d grad x) = -L x (that is SIMPLE's own correction
+        # identity), so D(du_final) = div(du0) - L dp = r_c requires
+        #   L dp = div(du0) - r_c.
+        # (The round-4 spectrum study at 31^2 caught the sign: with
+        # r_c - div the Schur block eigenvalues land at -1 and GMRES
+        # stagnates; with div - r_c the AM spectrum clusters at +1.)
         div_duv = pressure_rhs(du, dv, dx=dx, dy=dy, rho=rho, pin=False)
-        rhs = r_c - div_duv
+        rhs = div_duv - r_c
         rhs = rhs - jnp.mean(rhs)
         dp, _ = multigrid_solve(rhs, d_u, d_v, jnp.zeros(sp, rhs.dtype),
                                 pres_cfg, dx=dx, dy=dy, rho=rho,
@@ -209,19 +266,38 @@ def _build_newton_step(su, sv, sp, dx, dy, rho, mu, bc, cfg: NewtonConfig,
         _, vn = _unrelaxed_residual(v, c_v, is_u=False)
         return jnp.maximum(un, vn)
 
+    u_mask = _u_interior_mask(su)
+    v_mask = _v_interior_mask(sv)
+    shift_mask = _flatten(u_mask.astype(jnp.float32),
+                          v_mask.astype(jnp.float32),
+                          jnp.zeros(sp, jnp.float32))
+
     @jax.jit
-    def newton_step(w, damping):
+    def newton_step(w, damping, inv_dtau):
         Fw, jvp = jax.linearize(F, w)
+        # pseudo-transient shift: rho*vol/dtau on interior momentum rows
+        # (continuity is the algebraic constraint — never shifted)
+        shift = (rho * dx * dy * inv_dtau) * shift_mask.astype(w.dtype)
+        jvp_s = lambda z: jvp(z) + shift * z
         u, v, p = _unflatten(w, su, sv, sp)
         M = make_preconditioner(
             u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, scheme=cfg.scheme,
-            pres_cfg=pres_cfg, su=su, sv=sv, sp=sp)
-        d, _, k = gmres_solve(-Fw, jvp, M, jnp.zeros_like(w),
-                              cfg.gmres_tol, cfg.gmres_maxiter,
-                              cfg.gmres_restart)
+            pres_cfg=pres_cfg, su=su, sv=sv, sp=sp,
+            momentum_sweeps=cfg.momentum_sweeps,
+            ap_shift=rho * dx * dy * inv_dtau)
+        d, r_lin, k = gmres_solve(-Fw, jvp_s, M, jnp.zeros_like(w),
+                                  cfg.gmres_tol, cfg.gmres_maxiter,
+                                  cfg.gmres_restart)
         f0 = jnp.linalg.norm(Fw)
+        lin_rel = jnp.linalg.norm(r_lin) / jnp.maximum(f0, 1e-30)
 
-        # backtracking line search on ||F|| (monotone decrease)
+        # backtracking line search on ||F||.  Plain Newton demands monotone
+        # decrease; PTC steps follow the implicit-Euler trajectory, which is
+        # NOT ||F||-monotone (measured: ~+0.2% steps near a plateau that the
+        # strict search rejected down to lam=2^-5, freezing the iteration),
+        # so in PTC mode only genuine blow-ups (>25%) are backtracked.
+        accept = 1.25 if cfg.dtau0 > 0 else 1.0
+
         def try_step(lam):
             wn = w + lam * d
             return wn, jnp.linalg.norm(F(wn))
@@ -234,12 +310,15 @@ def _build_newton_step(su, sv, sp, dx, dy, rho, mu, bc, cfg: NewtonConfig,
 
         def cond(carry):
             lam, wn, fn, n = carry
-            return (fn >= f0) & (n < cfg.max_backtracks)
+            return (fn >= accept * f0) & (n < cfg.max_backtracks)
 
         w1, f1 = try_step(damping)
-        lam, w1, f1, n_bt = jax.lax.while_loop(
-            cond, body, (damping, w1, f1, jnp.asarray(0, jnp.int32)))
-        return w1, mom_norms(w1), f1, f0, k, n_bt
+        if cfg.max_backtracks > 0:
+            lam, w1, f1, n_bt = jax.lax.while_loop(
+                cond, body, (damping, w1, f1, jnp.asarray(0, jnp.int32)))
+        else:  # PTC mode: accept the implicit-Euler step as taken
+            n_bt = jnp.asarray(0, jnp.int32)
+        return w1, mom_norms(w1), f1, f0, k, n_bt, lin_rel
 
     return newton_step, F, mom_norms
 
@@ -278,22 +357,39 @@ def newton_solve(
     converged = False
     total_gmres = 0
     it = 0
+    dtau = cfg.dtau0
     for it in range(1, cfg.max_newton + 1):
         damping = jnp.asarray(
             cfg.initial_damping if it <= 2 else 1.0, w.dtype)
-        w, norm, f1, f0, k, n_bt = newton_step(w, damping)
+        inv_dtau = jnp.asarray(0.0 if dtau <= 0 else 1.0 / dtau, w.dtype)
+        w, norm, f1, f0, k, n_bt, lin_rel = newton_step(w, damping,
+                                                        inv_dtau)
         norm = float(norm)
         total_gmres += int(k)
         history.append(norm)
         if verbose:
             print(f"newton it {it}: mom_norm {norm:.3e}  ||F|| "
-                  f"{float(f0):.3e}->{float(f1):.3e}  gmres {int(k)}  "
+                  f"{float(f0):.3e}->{float(f1):.3e}  gmres {int(k)} "
+                  f"(lin_rel {float(lin_rel):.2e})  dtau {dtau:.2e}  "
                   f"backtracks {int(n_bt)}", flush=True)
         if not jnp.isfinite(jnp.asarray(norm)):
             break
         if norm <= cfg.tolerance:
             converged = True
             break
+        # linear-solve-aware dtau control (an SER variant): grow dtau
+        # geometrically while GMRES actually solves the shifted system
+        # (lin_rel at the forcing tolerance), hold when it merely makes
+        # progress, shrink when it fails outright.  Classic ||F||-ratio SER
+        # stalls here: near the pre-Hopf plateau PTC steps shrink ||F|| by
+        # ~1%/step, so dtau would never grow, while the conditioning — the
+        # thing dtau actually buys — is measured directly by lin_rel.
+        if dtau > 0:
+            lr = float(lin_rel)
+            if lr <= 3.0 * cfg.gmres_tol:
+                dtau = min(dtau * cfg.ser_growth, cfg.dtau_max)
+            elif lr > 0.5:
+                dtau = max(dtau / cfg.ser_growth, cfg.dtau0 / 8)
 
     u, v, p = _unflatten(w, su, sv, sp)
     u, v = apply_velocity_bcs(u, v, bc)

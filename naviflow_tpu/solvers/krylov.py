@@ -179,8 +179,16 @@ def gmres_solve(b, A, M, x0, tol, maxiter, restart):
     Krylov space of A∘M, x = M(z).  One ``lax.while_loop`` over restart
     cycles; each cycle runs the full m Arnoldi steps (modified Gram-Schmidt,
     statically shaped basis) and solves the (m+1)×m least-squares problem by
-    regularized normal equations — m is small, the basis is orthonormal, so
-    the normal-equation conditioning is benign.
+    SVD (``jnp.linalg.lstsq``).  Normal equations (HᵀH) were used through
+    round 3 and are fine when the preconditioned operator is easy (the MG/
+    Jacobi pressure and momentum uses, a handful of Arnoldi steps); they
+    SQUARE the condition number, which in f32 on the hard Newton saddle-point
+    systems (``algorithms/newton.py``: H genuinely ill-conditioned near
+    stagnation) returned meaningless y and stalled the whole outer Newton
+    iteration — measured round 4 on TPU at 255², fixed by this lstsq.
+    On happy breakdown (h_{j+1,j} ≈ 0) the next basis vector is zeroed so
+    trailing columns carry no junk; the SVD cutoff handles the resulting
+    rank deficiency exactly.
 
     All reductions are ``jnp.vdot``/``jnp.linalg.norm`` over the field, so on
     a sharded mesh they lower to psum collectives.  Returns ``(x, r, k)``
@@ -211,17 +219,19 @@ def gmres_solve(b, A, M, x0, tol, maxiter, restart):
             w, hcol = jax.lax.fori_loop(0, m, mgs, (w, jnp.zeros(m + 1, dtype)))
             hn = jnp.linalg.norm(w)
             hcol = hcol.at[j + 1].set(hn)
-            V = V.at[j + 1].set(w / jnp.maximum(hn, tiny))
+            # happy breakdown: a ~zero continuation means the Krylov space is
+            # exhausted — zero the basis vector (and so every later column)
+            # instead of normalizing noise into the basis
+            breakdown = hn <= jnp.asarray(
+                jnp.finfo(dtype).eps, dtype) * 100 * safe_beta
+            V = V.at[j + 1].set(
+                jnp.where(breakdown, 0.0, w / jnp.maximum(hn, tiny)))
             return (V, H.at[:, j].set(hcol))
 
         V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
-        # min_y || beta e1 - H y || via ridge-regularized normal equations
+        # min_y || beta e1 - H y ||: SVD least squares (rank-robust in f32)
         e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        G = H.T @ H
-        ridge = jnp.asarray(jnp.finfo(dtype).eps, dtype) * (
-            jnp.trace(G) + jnp.asarray(1.0, dtype)
-        )
-        y = jnp.linalg.solve(G + ridge * jnp.eye(m, dtype=dtype), H.T @ e1)
+        y, _, _, _ = jnp.linalg.lstsq(H, e1)
         dx = M(jnp.tensordot(y, V[:m], axes=1))
         x = x + dx
         return x, b - A(x)
