@@ -254,6 +254,7 @@ def test_dist_fmg_matches_single_device():
                                rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_distributed_fmg_pressure_converges():
     """End-to-end distributed SIMPLE with the standalone FMG-bootstrapped
     distributed multigrid pressure solve (``pressure_solver='fmg'``)."""
@@ -278,6 +279,7 @@ def test_distributed_fmg_pressure_converges():
     assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
 
 
+@pytest.mark.slow
 def test_dist_mgcg_iterations_flat_across_meshes():
     """Distributed SIMPLE with the fully distributed MGCG pressure solve:
     converges, matches physics, and (being numerically identical to the

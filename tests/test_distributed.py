@@ -174,6 +174,7 @@ def test_distributed_quick_coefficients_match_global():
             rtol=1e-13, atol=1e-15, err_msg=f"v {name}")
 
 
+@pytest.mark.slow
 def test_distributed_quick_solve_matches_single_device():
     """End-to-end distributed SIMPLE with QUICK momentum (2-ring halos)."""
     from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
@@ -256,6 +257,7 @@ def test_distributed_bicgstab_momentum_matches_single_device():
     assert diag_d["iterations"] <= diag_s.iterations * 1.2
 
 
+@pytest.mark.slow
 def test_distributed_nondivisible_grid_matches_single_device():
     """30^2 on a (2, 4) mesh — 30 % 4 != 0, so the y layout is zero-padded
     to 32 and masked (round-2 verdict item #7: grids no longer need to
@@ -292,6 +294,7 @@ def test_distributed_nondivisible_grid_matches_single_device():
     assert du < 3e-4 and dv < 3e-4, (du, dv)
 
 
+@pytest.mark.slow
 def test_distributed_nondivisible_multigrid_pressure():
     """Multigrid pressure solvers on a padded (non-divisible) grid: the
     hierarchy runs on the padded tiling with the fine stencil's padded
@@ -316,6 +319,7 @@ def test_distributed_nondivisible_multigrid_pressure():
         assert infinity_norm_error(final.u, final.v, mesh, 100) < 0.15
 
 
+@pytest.mark.slow
 def test_distributed_simplec_matches_single_device():
     """algorithm='simplec' (consistent d-coefficients, max-abs change
     residuals, dynamic alpha_p aux carry) reaches the single-device
@@ -352,6 +356,7 @@ def test_distributed_simplec_matches_single_device():
     assert infinity_norm_error(final_d.u, final_d.v, mesh, 100) < 0.15
 
 
+@pytest.mark.slow
 def test_distributed_piso_matches_single_device():
     """algorithm='piso' (n_corrections pressure passes with Jacobi
     corrector re-solves) reaches the single-device PISO fixed point."""
