@@ -190,7 +190,7 @@ def run_layout():
                        ms_per_iteration=round(ms, 3)))
 
 
-def run_algos():
+def run_algos(sizes=(63, 127, 255)):
     """Whole-step fused kernels for SIMPLEC/PISO/SIMPLER vs their XLA
     paths (round-4: the fused step is no longer SIMPLE-only) — paired
     auto-vs-XLA ms/iter at the latency-bound sizes."""
@@ -202,7 +202,7 @@ def run_algos():
              ("piso", PISOConfig, piso_solve),
              ("simpler", SIMPLERConfig, simpler_solve))
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
-    for nx in (63, 127, 255):
+    for nx in sizes:
         n_iters = 100 if nx <= 127 else 50
         for name, AlgoCfg, algo_solve in algos:
             for backend in ("xla", "auto"):
@@ -255,5 +255,7 @@ if __name__ == "__main__":
         run_layout()
     elif which == "algos":
         run_algos()
+    elif which.startswith("algos:"):
+        run_algos(tuple(int(s) for s in which.split(":")[1].split(",")))
     else:
         raise SystemExit(f"unknown mode: {which}")

@@ -71,6 +71,12 @@ def _case_args(p, multi=False):
                    help="auto | fused | host | chunked[:K]")
     p.add_argument("--sequence", action="store_true",
                    help="grid-sequenced solve (coarse-to-fine warm starts)")
+    p.add_argument("--newton", action="store_true",
+                   help="finish with the steady Newton-Krylov solver "
+                        "(algorithms/newton.py) from wherever the "
+                        "fixed-point iteration lands — converges unstable "
+                        "steady branches (e.g. QUICK at Re>=7500) that "
+                        "SIMPLE-family iterations limit-cycle on")
     p.add_argument("--f64", action="store_true", help="run in float64 (CPU)")
     p.add_argument("--distributed", action="store_true",
                    help="spatial domain decomposition over all local "
@@ -257,10 +263,26 @@ def _run_case(args, nx, re):
         final, diag = solve(mesh, fluid, bc, state, cfg, momentum=mom,
                             pressure=pres, loop=args.loop, on_chunk=on_chunk)
     jax.block_until_ready(final.u)
+
+    newton_info = {}
+    if getattr(args, "newton", False) and not bool(diag.converged):
+        from .algorithms import NewtonConfig, newton_solve
+
+        final, ndiag = newton_solve(
+            mesh, fluid, bc, final,
+            NewtonConfig(tolerance=args.tolerance, scheme=args.scheme))
+        newton_info = dict(
+            newton_iterations=ndiag.iterations,
+            newton_converged=bool(ndiag.converged),
+            newton_final_residual=float(ndiag.final_residual),
+            newton_gmres_iterations=ndiag.gmres_iterations,
+        )
     wall = time.perf_counter() - t0
 
     result = result_from_solve(mesh, fluid, final, diag,
                                algorithm=args.algorithm.upper())
+    if newton_info.get("newton_converged"):
+        result.converged = True
     summary = dict(
         nx=nx, reynolds=re, algorithm=args.algorithm,
         pressure=args.pressure, momentum=args.momentum, scheme=args.scheme,
@@ -268,6 +290,7 @@ def _run_case(args, nx, re):
         final_residual=float(diag.final_residual),
         max_divergence=result.get_max_divergence(),
         wall_seconds=round(wall, 3),
+        **newton_info,
     )
     try:
         summary.update(result.validate_against_benchmark())
