@@ -41,30 +41,45 @@ def _emit(row):
 
 
 def time_step_block(nx, pres, n_iters, re=100.0):
-    """Median of 3 chained runs of an n_iters fused block; returns ms/iter."""
+    """MARGINAL ms/iter by a two-point slope: median-of-3 chained walls at
+    n_iters and 4*n_iters, slope = (w4 - w1) / (3 * n_iters).
+
+    Round-4 finding: each fused-solve *call* carries a fixed cost that is
+    NOT per-iteration work (donated-carry/hierarchy setup + tunnel
+    dispatch/fetch) — measured ~232 ms per call at 4096^2, which inflated
+    a 6-iteration block to 119.9 "ms/iter" when the true marginal cost
+    was 81 ms (n=24 block: 90.7).  Long production runs amortize that
+    fixed cost to ~nothing, so the slope is the honest per-iteration
+    number; naive wall/n overstates it at exactly the large sizes where
+    few iterations fit the tunnel watchdog."""
     mesh = nf.StructuredMesh(nx=nx, ny=nx)
     fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
     bc = nf.lid_driven_cavity(1.0)
-    cfg = SIMPLEConfig(max_iterations=n_iters, tolerance=0.0)
     mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
-    solve = lambda s: simple_solve(mesh, fluid, bc, s, cfg,
-                                   momentum=mom, pressure=pres, loop="fused")
 
-    seed = struct.unpack("<I", os.urandom(4))[0]
-    noise = jax.random.uniform(jax.random.PRNGKey(seed), mesh.p_shape,
-                               jnp.float32, 0.0, 1e-7)
-    state = nf.initialize_state(mesh, bc)
-    state = state.replace(p=state.p + noise)
-    out, _ = solve(state)  # compile + warm
-    walls = []
-    for _ in range(3):
-        float(jnp.sum(out.p))
-        t0 = time.perf_counter()
-        out, diag = solve(out)  # chained: input is previous output
-        float(diag.final_residual)
-        walls.append(time.perf_counter() - t0)
-    wall = sorted(walls)[1]
-    return wall / n_iters * 1e3
+    def timed_block(n):
+        cfg = SIMPLEConfig(max_iterations=n, tolerance=0.0)
+        solve = lambda s: simple_solve(mesh, fluid, bc, s, cfg,
+                                       momentum=mom, pressure=pres,
+                                       loop="fused")
+        seed = struct.unpack("<I", os.urandom(4))[0]
+        noise = jax.random.uniform(jax.random.PRNGKey(seed), mesh.p_shape,
+                                   jnp.float32, 0.0, 1e-7)
+        state = nf.initialize_state(mesh, bc)
+        state = state.replace(p=state.p + noise)
+        out, _ = solve(state)  # compile + warm
+        walls = []
+        for _ in range(3):
+            float(jnp.sum(out.p))
+            t0 = time.perf_counter()
+            out, diag = solve(out)  # chained: input is previous output
+            float(diag.final_residual)
+            walls.append(time.perf_counter() - t0)
+        return sorted(walls)[1]
+
+    w1 = timed_block(n_iters)
+    w4 = timed_block(4 * n_iters)
+    return (w4 - w1) / (3 * n_iters) * 1e3
 
 
 def run_pallas():
