@@ -40,7 +40,7 @@ def _emit(row):
         f.write(line + "\n")
 
 
-def time_step_block(nx, pres, n_iters, re=100.0):
+def time_step_block(nx, pres, n_iters, re=100.0, mom=None):
     """MARGINAL ms/iter by a two-point slope: median-of-3 chained walls at
     n_iters and 4*n_iters, slope = (w4 - w1) / (3 * n_iters).
 
@@ -55,7 +55,8 @@ def time_step_block(nx, pres, n_iters, re=100.0):
     mesh = nf.StructuredMesh(nx=nx, ny=nx)
     fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
     bc = nf.lid_driven_cavity(1.0)
-    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    if mom is None:
+        mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
 
     def timed_block(n):
         cfg = SIMPLEConfig(max_iterations=n, tolerance=0.0)
@@ -205,6 +206,23 @@ def run_layout():
                        ms_per_iteration=round(ms, 3)))
 
 
+def run_pair(sizes=((1024, 30), (2048, 12), (4096, 6))):
+    """Batched u+v BiCGSTAB (one Krylov loop, solvers/momentum.
+    _bicgstab_pair_masked) vs the sequential per-field solves, in the
+    full SIMPLE step — the momentum solve is reduction-barrier-bound at
+    these sizes (profile_phases 2048^2: 6.8 of 18.1 ms/iter)."""
+    for nx, n_iters in sizes:
+        for bp in ("off", "auto"):
+            mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25,
+                                       batch_pair=bp)
+            pres = MultigridConfig(tolerance=1e-2, max_cycles=8,
+                                   cycle_type="v", check_every=2,
+                                   coarsest_sweeps=32, coarse_rebuild_every=8)
+            ms = time_step_block(nx, pres, n_iters, re=1000.0, mom=mom)
+            _emit(dict(kind="momentum-pair", nx=nx, batch_pair=bp,
+                       ms_per_iteration=round(ms, 3)))
+
+
 def run_algos(sizes=(63, 127, 255)):
     """Whole-step fused kernels for SIMPLEC/PISO/SIMPLER vs their XLA
     paths (round-4: the fused step is no longer SIMPLE-only) — paired
@@ -268,6 +286,12 @@ if __name__ == "__main__":
         run_breakdown()
     elif which == "layout":
         run_layout()
+    elif which == "pair":
+        run_pair()
+    elif which.startswith("pair:"):
+        run_pair(tuple((int(s), 30 if int(s) <= 1024 else
+                        (12 if int(s) <= 2048 else 6))
+                       for s in which.split(":")[1].split(",")))
     elif which == "algos":
         run_algos()
     elif which.startswith("algos:"):

@@ -74,17 +74,33 @@ def measure(nx, n_iters):
 
     out = compiled(fresh())  # warm the executable itself
     jax.block_until_ready(out)
-    walls = []
-    for _ in range(3):
-        s = fresh()
-        float(jnp.sum(s.p))
-        t0 = time.perf_counter()
-        _, diag = compiled(s)
-        float(diag.final_residual)
-        walls.append(time.perf_counter() - t0)
-    wall = sorted(walls)[1]
 
-    ms_per_iter = wall / n_iters * 1e3
+    def timed(exe):
+        walls = []
+        for _ in range(2):
+            s = fresh()
+            float(jnp.sum(s.p))
+            t0 = time.perf_counter()
+            _, diag = exe(s)
+            float(diag.final_residual)
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    # marginal ms/iter via a two-point slope (same method as bench.py):
+    # a second executable at 4x the iterations; the difference removes the
+    # per-call fixed cost (dispatch + host fetch ~25 ms) that a naive
+    # wall/n reading charges per iteration
+    cfg4 = SIMPLEConfig(max_iterations=4 * n_iters, tolerance=0.0)
+
+    def solve4(s):
+        return simple_solve(mesh, fluid, bc, s, cfg4, momentum=mom,
+                            pressure=pres, loop="fused")
+
+    compiled4 = jax.jit(solve4).lower(fresh()).compile()
+    jax.block_until_ready(compiled4(fresh()))
+    w1 = timed(compiled)
+    w4 = timed(compiled4)
+    ms_per_iter = (w4 - w1) / (3 * n_iters) * 1e3
     bytes_per_iter = bytes_total / n_iters
     roofline_ms = bytes_per_iter / (HBM_GBPS * 1e9) * 1e3
     row = dict(

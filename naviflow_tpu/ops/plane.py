@@ -111,6 +111,17 @@ class PlaneStencil5:
         self.wh = split_planes(st.w * invc)
         self.nh = split_planes(st.n * invc)
         self.sh = split_planes(st.s * invc)
+        # cells with a ZERO diagonal (the consistent variant's corner
+        # cells — no face links at all) break the normalized-form
+        # residual r = c*(bh - p - sum(Lh*nbr)) used by the plane strip
+        # kernels (ops/pallas_plane.py): c == 0 annihilates the b term
+        # that the raw-form residual keeps.  Precompute the restricted
+        # correction ONCE per solve; the kernel wrapper adds it to its
+        # coarse output.
+        zR = jnp.abs(self.c[0]) < 1e-15
+        zB = jnp.abs(self.c[1]) < 1e-15
+        self.rc_zdiag = plane_restrict_cc(jnp.where(zR, self.b[0], 0.0),
+                                          jnp.where(zB, self.b[1], 0.0))
 
 
 def plane_rb_sweep(R, B, ps: PlaneStencil5):

@@ -151,6 +151,10 @@ class KrylovMomentumConfig:
     # VMEM-resident kernel (ops/pallas_krylov.py) when the field fits;
     # 'xla' forces the composed while_loop
     backend: str = "auto"
+    # 'auto': where the fused per-field kernel does NOT fit (large grids),
+    # batch the u and v solves into one Krylov loop — half the reduction
+    # barriers (_bicgstab_pair_masked).  'off' forces sequential solves.
+    batch_pair: str = "auto"
     kind: str = "bicgstab"
 
 
@@ -261,6 +265,122 @@ def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int,
              jnp.asarray(True))
     x, *_ = jax.lax.while_loop(cond, body, carry)
     return jnp.where(mask, x, x0)
+
+
+def _shift_e3(x):
+    return jnp.pad(x[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+
+
+def _shift_w3(x):
+    return jnp.pad(x[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+
+
+def _shift_n3(x):
+    return jnp.pad(x[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+
+
+def _shift_s3(x):
+    return jnp.pad(x[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+
+
+def _bicgstab_pair_masked(xu0, cu, mask_u, xv0, cv, mask_v,
+                          tol: float, maxiter: int):
+    """The u and v momentum solves BATCHED into one Krylov loop.
+
+    The two predictor systems are independent, but running them
+    sequentially doubles the serialized reduction rounds — and at
+    1024^2+ the masked BiCGSTAB is reduction-latency-bound, not
+    FLOP-bound (measured round 4, ``benchmarks/profile_phases.py``:
+    6.8 ms of an 18.1 ms step at 2048^2 is the two Krylov loops; each
+    iteration's 4 dots + 2 norms are full-array pipeline barriers).
+    Stacking the padded systems into a ``(2, nx+1, ny+1)`` batch halves
+    the number of barriers: every dot becomes one fused reduction to a
+    ``(2,)`` vector and every scalar of the recurrence becomes a
+    2-vector broadcast.
+
+    Per-system arithmetic is IDENTICAL to :func:`_bicgstab_masked`
+    (padded cells are masked out of the operator and carry zeros through
+    every reduction); each system freezes — its whole carry held — once
+    ITS residual passes tolerance, so iteration counts and iterates
+    match the sequential solves to reduction-reassociation roundoff.
+    The loop runs until both systems are done.
+    """
+    nxp1, ny = xu0.shape
+    nx, nyp1 = xv0.shape
+    M, N = max(nxp1, nx), max(ny, nyp1)
+
+    def pad2(x, fill=0.0):
+        return jnp.pad(x, ((0, M - x.shape[0]), (0, N - x.shape[1])),
+                       constant_values=fill)
+
+    def stack(fu, fv, fill=0.0):
+        return jnp.stack([pad2(fu, fill), pad2(fv, fill)])
+
+    mask = stack(mask_u.astype(xu0.dtype), mask_v.astype(xv0.dtype))
+    a_e = stack(cu.a_e, cv.a_e)
+    a_w = stack(cu.a_w, cv.a_w)
+    a_n = stack(cu.a_n, cv.a_n)
+    a_s = stack(cu.a_s, cv.a_s)
+    a_p = stack(cu.a_p, cv.a_p, fill=1.0)
+    b = stack(cu.src, cv.src) * mask
+    x0 = stack(xu0, xv0)
+
+    def A(x):
+        return (a_p * x - a_e * _shift_e3(x) - a_w * _shift_w3(x)
+                - a_n * _shift_n3(x) - a_s * _shift_s3(x)) * mask
+
+    def dot(a, bb):
+        return jnp.sum(a * bb, axis=(1, 2))
+
+    x = x0 * mask
+    r0 = b - A(x)
+    rhat = r0
+    ones = jnp.ones((2,), x0.dtype)
+    rho = alpha = omega_ = ones
+    v = p = jnp.zeros_like(x)
+    bnorm = jnp.sqrt(dot(b, b))
+    tol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
+    eps = jnp.asarray(jnp.finfo(x0.dtype).tiny * 1e6, x0.dtype)
+
+    def sel(act, new, old):
+        return jnp.where(act[:, None, None], new, old)
+
+    def cond(carry):
+        x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
+        return (k < maxiter) & jnp.any(ok & (dot(r, r) > tol2))
+
+    def body(carry):
+        x, r, rhat, rho, alpha, omega_, v, p, k, ok = carry
+        act = ok & (dot(r, r) > tol2)
+        rho_new = dot(rhat, r)
+        good = (jnp.abs(rho) > eps) & (jnp.abs(omega_) > eps)
+        beta = jnp.where(good, (rho_new / jnp.where(rho == 0, 1.0, rho))
+                         * (alpha / jnp.where(omega_ == 0, 1.0, omega_)), 0.0)
+        p_new = r + beta[:, None, None] * (p - omega_[:, None, None] * v)
+        v_new = A(p_new)
+        denom = dot(rhat, v_new)
+        good = good & (jnp.abs(denom) > eps)
+        alpha_new = jnp.where(good, rho_new / jnp.where(denom == 0, 1.0, denom),
+                              0.0)
+        s = r - alpha_new[:, None, None] * v_new
+        t = A(s)
+        tt = dot(t, t)
+        omega_new = jnp.where(tt > eps, dot(t, s) / jnp.where(tt == 0, 1.0, tt),
+                              0.0)
+        x_new = x + alpha_new[:, None, None] * p_new \
+            + omega_new[:, None, None] * s
+        r_new = s - omega_new[:, None, None] * t
+        return (sel(act, x_new, x), sel(act, r_new, r), rhat,
+                jnp.where(act, rho_new, rho), jnp.where(act, alpha_new, alpha),
+                jnp.where(act, omega_new, omega_), sel(act, v_new, v),
+                sel(act, p_new, p), k + 1, jnp.where(act, good, ok))
+
+    carry = (x, r0, rhat, rho, alpha, omega_, v, p,
+             jnp.asarray(0, jnp.int32), jnp.ones((2,), bool))
+    x, *_ = jax.lax.while_loop(cond, body, carry)
+    xu = jnp.where(mask_u, x[0, :nxp1, :ny], xu0)
+    xv = jnp.where(mask_v, x[1, :nx, :nyp1], xv0)
+    return xu, xv
 
 
 def _gmres_masked(x0, c, mask, tol: float, maxiter: int, restart: int):
@@ -484,15 +604,49 @@ def solve_momentum_pair(u, v, p, *, dx, dy, rho, mu, alpha,
 
     nxp1, ny = u.shape
     scheme = getattr(cfg, "scheme", "power_law")
+    coeffs = None
     if supports_fused_assembly(nxp1 - 1, ny, scheme, u.dtype,
                                getattr(cfg, "backend", "auto")):
-        ub, vb = apply_velocity_bcs(u, v, bc)
+        u, v = apply_velocity_bcs(u, v, bc)
         cu_un, cu_rel, cv_un, cv_rel = fused_assembly_pair(
-            ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha)
-        out_u = solve_u_momentum(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha)
+        coeffs = (cu_un, cu_rel, cv_un, cv_rel)
+
+    if _pair_krylov_applicable(cfg, u.shape, v.shape, u.dtype,
+                               scheme, coeffs):
+        # batched u+v BiCGSTAB: one Krylov loop, half the reduction
+        # barriers (see _bicgstab_pair_masked) — the large-grid regime
+        # where the per-field fused VMEM kernel no longer fits
+        ub, vb = apply_velocity_bcs(u, v, bc)
+        if coeffs is not None:
+            cu_un, cu_rel, cv_un, cv_rel = coeffs
+        else:
+            cu_un = _assemble_coeffs(ub, vb, p, dx=dx, dy=dy, rho=rho,
+                                     mu=mu, scheme=scheme, is_u=True)
+            cu_rel = _relax(cu_un, ub, alpha)
+            cv_un = _assemble_coeffs(ub, vb, p, dx=dx, dy=dy, rho=rho,
+                                     mu=mu, scheme=scheme, is_u=False)
+            cv_rel = _relax(cv_un, vb, alpha)
+        u_star, v_star = _bicgstab_pair_masked(
+            ub, cu_rel, _u_interior_mask(ub.shape),
+            vb, cv_rel, _v_interior_mask(vb.shape),
+            cfg.tolerance, cfg.max_iterations)
+        u_star, v_star = apply_velocity_bcs(u_star, v_star, bc)
+        d_u = d_coefficient(cu_rel.a_p, dy, is_u=True)
+        d_v = d_coefficient(cv_rel.a_p, dx, is_u=False)
+        comp = getattr(cfg, "compensated_residual", False)
+        r_u, u_norm = _unrelaxed_residual(u_star, cu_un, is_u=True,
+                                          compensated=comp)
+        r_v, v_norm = _unrelaxed_residual(v_star, cv_un, is_u=False,
+                                          compensated=comp)
+        return (u_star, d_u, r_u, u_norm), (v_star, d_v, r_v, v_norm)
+
+    if coeffs is not None:
+        cu_un, cu_rel, cv_un, cv_rel = coeffs
+        out_u = solve_u_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
                                  alpha=alpha, bc=bc, cfg=cfg,
                                  coeffs=(cu_un, cu_rel))
-        out_v = solve_v_momentum(ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu,
+        out_v = solve_v_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
                                  alpha=alpha, bc=bc, cfg=cfg,
                                  coeffs=(cv_un, cv_rel))
         return out_u, out_v
@@ -501,3 +655,24 @@ def solve_momentum_pair(u, v, p, *, dx, dy, rho, mu, alpha,
     out_v = solve_v_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
                              alpha=alpha, bc=bc, cfg=cfg)
     return out_u, out_v
+
+
+def _pair_krylov_applicable(cfg, u_shape, v_shape, dtype, scheme, coeffs):
+    """Batched-pair BiCGSTAB gate: 5-point power-law systems where the
+    per-field fused VMEM kernel (ops/pallas_krylov.py) does NOT apply —
+    i.e. the large grids whose cost is reduction barriers, not FLOPs.
+    ``batch_pair='off'`` forces the sequential path (parity studies)."""
+    if getattr(cfg, "kind", None) != "bicgstab":
+        return False
+    if getattr(cfg, "batch_pair", "auto") == "off":
+        return False
+    if scheme != "power_law":
+        return False  # 9-point QUICK/LUDS systems use MomentumCoeffs9
+    if (getattr(cfg, "backend", "auto") in ("auto", "pallas")
+            and jax.default_backend() == "tpu"):
+        from ..ops.pallas_krylov import supports_fused_bicgstab
+
+        if (supports_fused_bicgstab(u_shape, dtype)
+                and supports_fused_bicgstab(v_shape, dtype)):
+            return False  # the one-kernel-per-field path wins when it fits
+    return True

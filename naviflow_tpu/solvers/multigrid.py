@@ -462,12 +462,32 @@ def multigrid_solve(
         ps = PlaneStencil5(st_fine, b)
         R0, B0 = split_planes(p_start)
 
+        # plane-resident strip kernels (ops/pallas_plane.py): the fine
+        # level's down/up passes as one kernel launch each, both color
+        # planes VMEM-strip-resident — the half-width window fits the
+        # Mosaic cap exactly where the interleaved strips are gated off
+        # (4096^2+)
+        use_plane_kernel = False
+        if (getattr(cfg, "backend", "auto") in ("auto", "pallas")
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_plane import supports_plane_strip
+
+            use_plane_kernel = supports_plane_strip(
+                R0.shape[0], R0.shape[1], cfg, b.dtype)
+
         def cond_p(carry):
             _, _, k, rel = carry
             return (k < cfg.max_cycles) & (rel >= cfg.tolerance)
 
         def one_cycle(RB):
             R, B = RB
+            if use_plane_kernel:
+                from ..ops.pallas_plane import (plane_strip_down,
+                                                plane_strip_up)
+
+                R, B, rc = plane_strip_down(R, B, ps, cfg)
+                ec = _cycle0(jnp.zeros_like(rc), rc, levels[1:], cfg)
+                return plane_strip_up(R, B, ps, ec, cfg)
             R, B, rc = plane_fine_down(R, B, ps, cfg.pre_smoothing)
             ec = _cycle0(jnp.zeros_like(rc), rc, levels[1:], cfg)
             return plane_fine_up(R, B, ps, ec, cfg.post_smoothing)

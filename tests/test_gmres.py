@@ -129,3 +129,62 @@ def test_gmres_momentum_solves_relaxed_system():
     r = np.asarray(c_rel.src - apply_stencil(u_star, c_rel))[mask]
     bnorm = np.linalg.norm(np.asarray(c_rel.src)[mask])
     assert np.linalg.norm(r) <= 1e-9 * max(bnorm, 1.0)
+
+
+def test_batched_pair_bicgstab_matches_sequential():
+    """The batched u+v BiCGSTAB (one Krylov loop, per-system freeze —
+    solvers/momentum._bicgstab_pair_masked) returns the same predictors,
+    d-coefficients and residual norms as the sequential per-field solves,
+    to reduction-reassociation roundoff."""
+    from naviflow_tpu.solvers.momentum import solve_momentum_pair
+
+    u, v, p, dx, dy, fluid, bc = _cavity_setup(nx=24)
+    kw = dict(dx=dx, dy=dy, rho=fluid.get_density(),
+              mu=fluid.get_viscosity(), alpha=0.7, bc=bc)
+    cfg_pair = KrylovMomentumConfig(tolerance=1e-10, max_iterations=300,
+                                    batch_pair="auto")
+    cfg_seq = KrylovMomentumConfig(tolerance=1e-10, max_iterations=300,
+                                   batch_pair="off")
+    (us_p, du_p, ru_p, un_p), (vs_p, dv_p, rv_p, vn_p) = solve_momentum_pair(
+        u, v, p, cfg=cfg_pair, **kw)
+    (us_s, du_s, ru_s, un_s), (vs_s, dv_s, rv_s, vn_s) = solve_momentum_pair(
+        u, v, p, cfg=cfg_seq, **kw)
+    np.testing.assert_allclose(np.asarray(us_p), np.asarray(us_s),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vs_p), np.asarray(vs_s),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(du_p), np.asarray(du_s), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_s), rtol=1e-12)
+    np.testing.assert_allclose(float(un_p), float(un_s), rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(float(vn_p), float(vn_s), rtol=1e-4, atol=1e-10)
+
+
+def test_batched_pair_loose_tolerance_freeze():
+    """At a loose tolerance the two systems converge at different
+    iterations; the per-system freeze must stop each at ITS tolerance
+    (iterates match the independent solves, not over-iterated ones)."""
+    from naviflow_tpu.core.bc import apply_velocity_bcs
+    from naviflow_tpu.ops.powerlaw import (relax_coefficients,
+                                           u_momentum_coefficients,
+                                           v_momentum_coefficients)
+    from naviflow_tpu.solvers.momentum import (_bicgstab_masked,
+                                               _bicgstab_pair_masked,
+                                               _u_interior_mask,
+                                               _v_interior_mask)
+
+    u, v, p, dx, dy, fluid, bc = _cavity_setup(nx=16)
+    ub, vb = apply_velocity_bcs(u, v, bc)
+    kw = dict(dx=dx, dy=dy, rho=fluid.get_density(),
+              mu=fluid.get_viscosity())
+    cu = relax_coefficients(u_momentum_coefficients(ub, vb, p, **kw), ub, 0.7)
+    cv = relax_coefficients(v_momentum_coefficients(ub, vb, p, **kw), vb, 0.7)
+    mu_m, mv_m = _u_interior_mask(ub.shape), _v_interior_mask(vb.shape)
+    for tol in (1e-3, 1e-6):
+        us_b, vs_b = _bicgstab_pair_masked(ub, cu, mu_m, vb, cv, mv_m,
+                                           tol, 200)
+        us_s = _bicgstab_masked(ub, cu, mu_m, tol, 200)
+        vs_s = _bicgstab_masked(vb, cv, mv_m, tol, 200)
+        np.testing.assert_allclose(np.asarray(us_b), np.asarray(us_s),
+                                   rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(vs_b), np.asarray(vs_s),
+                                   rtol=1e-5, atol=1e-8)
