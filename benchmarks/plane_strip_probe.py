@@ -42,24 +42,31 @@ def main():
     b = jnp.asarray(rng.normal(size=(nx, nx)), jnp.float32)
     p = jnp.asarray(rng.normal(size=(nx, nx)), jnp.float32)
     cfg = MultigridConfig(pre_smoothing=2, post_smoothing=2, smoother="gs")
-    ps = PlaneStencil5(st, b)
     R0, B0 = split_planes(p)
     ec = jnp.zeros((nx // 2, nx // 2), jnp.float32)
 
-    for T in (16, 32, 48, 64, 96):
+    for T in (16, 32, 48, 64, 96, 128):
         if nx % T:
             continue
         pp._CAP_CELLS = (T + 2 * pp.H) * nc  # force this T
         assert pp._plane_rows(nx, nc) == T
 
-        def pass_(R, B):
-            R, B, rc = pp.plane_strip_down(R, B, ps, cfg)
-            return pp.plane_strip_up(R, B, ps, ec, cfg)
+        # st/b/ec must be jit ARGUMENTS: closed-over arrays embed as HLO
+        # constants, and at 4096^2 the ~300 MB constant blob exceeds the
+        # axon tunnel's remote_compile request limit (HTTP 413).
+        @jax.jit
+        def fn(R, B, st, b, ec):
+            ps = PlaneStencil5(st, b)
 
-        fn = jax.jit(lambda R, B: jax.lax.fori_loop(
-            0, 10, lambda _, q: pass_(*q), (R, B)))
+            def pass_(R, B):
+                R, B, rc = pp.plane_strip_down(R, B, ps, cfg)
+                return pp.plane_strip_up(R, B, ps, ec, cfg)
+
+            return jax.lax.fori_loop(
+                0, 10, lambda _, q: pass_(*q), (R, B))
+
         try:
-            out = fn(R0, B0)
+            out = fn(R0, B0, st, b, ec)
             jax.block_until_ready(out)
         except Exception as e:
             print(json.dumps({"nx": nx, "T": T, "ok": False,
@@ -73,7 +80,7 @@ def main():
                                          jnp.float32, 0, 1e-9)
             float(jnp.sum(Rp))
             t0 = time.perf_counter()
-            out = fn(Rp, B0)
+            out = fn(Rp, B0, st, b, ec)
             float(jnp.sum(out[0]))
             walls.append(time.perf_counter() - t0)
         ms = (min(walls) - 0.025) / 10 * 1e3

@@ -58,6 +58,32 @@ def main():
     print(json.dumps({"strip_parity_ok": ok, "iter_drift": drift,
                       "residual_rel_diff": rres}))
 
+    # Phase 2: the PLANE-resident fine level (ops/pallas_plane.py) —
+    # force fine_layout='plane' (auto only picks it at >=4096^2) and
+    # compare the plane strip kernels against the value-level XLA plane
+    # path.  Same re-association contract as phase 1.
+    pout = {}
+    for backend in ("auto", "xla"):
+        pres = MultigridConfig(tolerance=1e-2, max_cycles=8, check_every=2,
+                               coarsest_sweeps=32, coarse_rebuild_every=8,
+                               backend=backend, fine_layout="plane")
+        st = nf.initialize_state(mesh, bc)
+        t0 = time.time()
+        _, diag = simple_solve(mesh, fluid, bc, st, cfg, momentum=mom,
+                               pressure=pres, loop="chunked:400")
+        pout[backend] = dict(converged=bool(diag.converged),
+                             iters=int(diag.iterations),
+                             residual=float(diag.final_residual),
+                             wall_s=round(time.time() - t0, 1))
+        print(json.dumps({"fine_layout": "plane", "backend": backend,
+                          **pout[backend]}), flush=True)
+    pdrift = abs(pout["auto"]["iters"] - pout["xla"]["iters"])
+    prres = abs(pout["auto"]["residual"] - pout["xla"]["residual"]) / max(
+        pout["xla"]["residual"], 1e-30)
+    pok = (pdrift <= max(2, pout["xla"]["iters"] // 20) and prres < 1e-3)
+    print(json.dumps({"plane_parity_ok": pok, "iter_drift": pdrift,
+                      "residual_rel_diff": prres}))
+
 
 if __name__ == "__main__":
     import warnings

@@ -51,6 +51,8 @@ try:
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
+from .pallas_mg import kernel_params
+
 PAD = 16  # >= the 1-ring halo; keeps DMA offsets and row slices aligned
 
 
@@ -171,6 +173,7 @@ def fused_assembly_pair(u, v, p, *, dx, dy, rho, mu, alpha,
                         pltpu.VMEM((T, lane(ny)), dt),
                         pltpu.VMEM((T, lane(ny + 1)), dt),
                         pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(u_e, v_e, p_e, u_f, v_f)
 

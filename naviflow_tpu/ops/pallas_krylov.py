@@ -138,10 +138,12 @@ def bicgstab_momentum_pallas(x0, c: StencilCoeffs, *, tol: float,
     margins (lo_i, hi_i, lo_j, hi_j) of ``ops/stencil.interior_mask``."""
     kernel = _mk_kernel(maxiter, tol, *margins)
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    from .pallas_mg import kernel_params
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x0.shape, x0.dtype),
         in_specs=[spec] * 7,
         out_specs=spec,
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(x0, c.a_e, c.a_w, c.a_n, c.a_s, c.a_p, c.src)

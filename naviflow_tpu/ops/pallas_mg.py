@@ -65,6 +65,24 @@ def _padded_bytes(nx, ny):
     return (-(-nx // 8) * 8) * (-(-ny // 128) * 128) * 4
 
 
+# Mosaic's per-kernel scoped-VMEM stack defaults to 16 MiB (the
+# --xla_tpu_scoped_vmem_limit_kib XLA default) — a COMPILER budget, not
+# the chip's capacity (v5e VMEM is 128 MiB).  The whole-algorithm
+# kernels' long dependency chains put their liveness stack right at that
+# default (measured on v5e: 255^2 SIMPLE whole-step 16.68 MiB after the
+# round-4 algo parameterization, 255^2 SIMPLEC 16.42 MiB, 511^2 fused
+# V-cycle 20.8 MiB — all "scoped allocation ... exceeded scoped vmem
+# limit" stack OOMs), so the heavyweight single-invocation kernels raise
+# the per-kernel limit explicitly; the *_BUDGET admission gates remain
+# the policy against the raised ceiling.
+KERNEL_VMEM_LIMIT_BYTES = 64 * 2**20
+
+
+def kernel_params():
+    """Shared Mosaic compiler params for the whole-algorithm kernels."""
+    return pltpu.CompilerParams(vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES)
+
+
 @functools.lru_cache(maxsize=64)
 def _transfer_matrices(nf: int, nc: int):
     """1-D factors of the separable transfers, as numpy f32.
@@ -429,6 +447,7 @@ def galerkin_levels_pallas(fine_st: Stencil9, shapes, fine_five: bool,
         out_shape=out_shapes,
         in_specs=[spec] * len(inputs),
         out_specs=[spec] * len(out_shapes),
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
     sts = []
@@ -462,6 +481,7 @@ def fused_vcycle(p, b, levels, cfg, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         in_specs=[spec] * len(inputs),
         out_specs=spec,
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
 
@@ -494,6 +514,7 @@ def fused_mg_solve(p0, b, levels, cfg, *, mean_normalize: bool = True,
         out_shape=out_shapes,
         in_specs=[spec] * len(inputs),
         out_specs=[spec] * 4,
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
     return p, r, cycles[0, 0], rel[0, 0]

@@ -57,24 +57,33 @@ try:  # pallas is TPU-only at lowering time; import is safe everywhere
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
+from .pallas_mg import kernel_params
+
 H = 8  # halo rows per side (5 consumed worst-case; 8 for tile alignment)
 
 # 14 half-width window arrays live per strip (R, B, bh x2, links x8,
-# c x2); the budget is the same empirical Mosaic scoped-VMEM stack that
-# sized the interleaved strips (ops/pallas_strip.py:_strip_rows — ~160k
-# window cells for its 7-array five-point kernel, ~2.5x liveness
-# multiplier), scaled to the doubled array count.  Hardware probe
-# (benchmarks/plane_strip_probe.py, TPU v5e): T=32 at nc=2048 compiles
-# and runs (W x nc = 48 x 2048 = 98k half-cells across 14 arrays
-# ~= 5.5 MB scratch); T=48 (W=64) also compiles; T=64 (W=80) OOMs the
-# scope.  Cap chosen under the measured OOM point.
-_CAP_CELLS = 66 * 1024
+# c x2).  Hardware probe (benchmarks/plane_strip_probe.py, TPU v5e,
+# 2026-08-18, nc=2048): T=16 ok 4.58 ms/down+up, T=32 ok 3.48, T=64 ok
+# 3.09 — (64+16) x 2048 = 160k window cells x 14 arrays (~9 MB scratch)
+# still compiles and is the fastest measured point, matching the
+# interleaved strips' ~160k-cell empirical budget
+# (ops/pallas_strip.py:_strip_rows) despite the doubled array count —
+# the Mosaic scoped-VMEM ceiling tracks the WINDOW footprint, not the
+# total scratch bytes.  Cap set at the measured-good point.
+_CAP_CELLS = 160 * 1024
 
 
 def _plane_rows(m: int, nc: int) -> int:
-    """Largest strip height T (multiple of 8, dividing m) whose 14-array
-    window fits the scoped-VMEM budget; 0 if none does."""
-    for T in (128, 96, 64, 48, 32, 16, 8):
+    """Preferred strip height T (multiple of 8, dividing m) whose
+    14-array window fits the scoped-VMEM budget; 0 if none does.
+
+    T=64 first, NOT largest-fitting: the hardware probe
+    (plane_strip_probe.py, TPU v5e, 2026-08-18) measured ms/down+up
+    nc=2048: T=16 4.58 / T=32 3.48 / T=64 3.09; nc=1024: T=16 0.80 /
+    T=32 0.53 / **T=64 0.32** / T=128 0.80 — past T=64 the bigger
+    window LOSES (less DMA/compute overlap across fewer grid steps),
+    so bigger-if-it-fits is the wrong rule."""
+    for T in (64, 96, 128, 48, 32, 16, 8):
         if T + 2 * H > m or m % T:
             continue
         if (T + 2 * H) * nc <= _CAP_CELLS:
@@ -262,6 +271,7 @@ def plane_strip_down(R, B, ps, cfg, *, interpret: bool = False):
                    pl.BlockSpec((T // 2, nc), lambda g: (g, 0))],
         scratch_shapes=[pltpu.VMEM((W, nc), R.dtype) for _ in range(14)]
         + [pltpu.SemaphoreType.DMA((14,))],
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
     # zero-diagonal cells (consistent-variant corners) drop their b term
@@ -292,6 +302,7 @@ def plane_strip_up(R, B, ps, ec, cfg, *, interpret: bool = False):
                    pl.BlockSpec((T, nc), lambda g: (g, 0))],
         scratch_shapes=[pltpu.VMEM((W, nc), R.dtype) for _ in range(14)]
         + [pltpu.SemaphoreType.DMA((14,))],
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
     return R2, B2

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from .pallas_mg import (HAVE_PALLAS, VMEM_BUDGET_BYTES, _padded_bytes,
                         _transfer_matrices, galerkin_rap_value,
-                        mg_solve_value, supports_fused)
+                        kernel_params, mg_solve_value, supports_fused)
 from .poisson import poisson_coefficients, pressure_rhs
 from .stencil9 import Stencil9
 
@@ -362,6 +362,7 @@ def fused_outer_step(algo, u, v, p, scalars, *, dx, dy, rho, mu, bc,
         out_shape=out_shapes,
         in_specs=[spec] * len(inputs),
         out_specs=[spec] * len(out_shapes),
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
     u2, v2, p2 = outs[:3]

@@ -217,7 +217,13 @@ def test_fused_simple_step_matches_xla_step():
         u, v, p, pm = u1, v1, p1, pm1
 
 
-@pytest.mark.parametrize("algo", ["simplec", "piso", "simpler"])
+@pytest.mark.parametrize("algo", [
+    "simplec",
+    # piso/simpler interpret-mode chains cost 100-170 s each; simplec
+    # keeps default-suite coverage of the shared fused_outer_step path
+    pytest.param("piso", marks=pytest.mark.slow),
+    pytest.param("simpler", marks=pytest.mark.slow),
+])
 def test_fused_outer_step_matches_xla_step(algo):
     """ops/pallas_step.fused_outer_step == the algorithm's XLA step body
     over chained iterations, for every non-SIMPLE algorithm (round-3
