@@ -55,7 +55,7 @@ try:  # pallas is TPU-only at lowering time; import is safe everywhere
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-from .pallas_mg import _inv_diag, apply9v, mm
+from .pallas_mg import _inv_diag, apply9v, kernel_params, mm
 
 # Halo rows per side.  Correctness needs 5 (2 sweeps x 2 halves +
 # residual); 16 is chosen for ALIGNMENT: window offsets are then
@@ -64,18 +64,26 @@ from .pallas_mg import _inv_diag, apply9v, mm
 # sliced sublane offset.
 H = 16
 
+# Window cap in cells (W * ny), per stencil family.  Originally an
+# EMPIRICAL proxy for Mosaic's default 16 MiB scoped-VMEM stack (the
+# 7-array five-point kernel: W=160 x ny=1024 ~12-13 MB compiled; W=96 x
+# ny=2048 allocated 19.2 MB and OOM'd the 16 MB scope; the kernel's live
+# set is the scratch arrays plus ~2.5x in sweep temporaries).  The
+# kernels now raise the per-kernel limit to KERNEL_VMEM_LIMIT_BYTES
+# (pallas_mg.kernel_params — the 16 MB default is a compiler budget, not
+# the v5e's 128 MiB capacity), which admits ~4x the window: the caps
+# below keep the same ~2.5x-liveness safety ratio against the raised
+# ceiling.  This un-gates the interleaved strips at 4096^2 (W=128+32
+# rows x 4096 lanes = 655k cells).  Nine-point levels carry 11 arrays +
+# corner-roll temporaries — ~60% of the five-point budget.
+_CAP_FIVE = 656 * 1024
+_CAP_NINE = 384 * 1024
+
+
 def _strip_rows(nx: int, ny: int, five: bool = True) -> int:
     """Largest strip height T (multiple of 16, <= nx/2) whose window fits
-    Mosaic's scoped-VMEM stack; 0 if none does.
-
-    The limit is EMPIRICAL, in window-cells (W * ny): the kernel's live
-    set is the scratch arrays plus ~2.5x that in sweep temporaries
-    Mosaic keeps on the stack (measured for the 7-array five-point
-    kernel: W=160 x ny=1024 allocates ~12-13 MB and compiles; W=96 x
-    ny=2048 allocates 19.2 MB and OOMs the 16 MB scope).  Nine-point
-    levels carry 11 arrays + corner-roll temporaries — ~60% of the
-    five-point window budget."""
-    cap = 160 * 1024 if five else 96 * 1024
+    the scoped-VMEM budget; 0 if none does."""
+    cap = _CAP_FIVE if five else _CAP_NINE
     for T in (256, 128, 64, 32, 16):
         if T + 2 * H > nx or nx % T:
             continue
@@ -303,6 +311,7 @@ def strip_down(p, b, st: Stencil9, cfg, five: bool = True, *,
                    pl.BlockSpec((T // 2, ny), lambda g: (g, 0))],
         scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(2 + ns)]
         + [pltpu.SemaphoreType.DMA((2 + ns,))],
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
     # column restriction in XLA on the half-height intermediate
@@ -336,5 +345,6 @@ def strip_up(p, b, st: Stencil9, ec, cfg, five: bool = True, *,
         scratch_shapes=[pltpu.VMEM((W, ny), p.dtype) for _ in range(2 + ns)]
         + [pltpu.VMEM((W // 2, ny), p.dtype),
            pltpu.SemaphoreType.DMA((3 + ns,))],
+        compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)

@@ -115,11 +115,11 @@ class MultigridConfig:
     # halving both the streamed bytes and the arithmetic of the dominant
     # fine-level work; the split/merge conversions amortize to once per
     # solve.  'auto' (default) resolves by the round-4 hardware shootout
-    # (benchmarks/LAYOUT_SHOOTOUT.jsonl, TPU v5e, ms/V-cycle — 1024^2:
-    # strip 0.36 vs plane 0.45; 2048^2: 2.16 vs 2.12 wash; 4096^2: strip
-    # 24.1 vs plane 14.5): plane at >= 4096 rows — exactly where the
-    # Mosaic window cap gates the strip kernels off the fine level —
-    # interleaved strips below.
+    # (benchmarks/LAYOUT_SHOOTOUT.jsonl, TPU v5e, ms/V-cycle, after the
+    # per-kernel scoped-VMEM raise un-gated large strip windows — 1024^2:
+    # strip 0.36 vs plane 0.45; 2048^2: strip 1.68 vs plane 1.55; 4096^2:
+    # strip 8.02 vs plane 8.07): plane-resident at >= 2048 rows (8% win at
+    # 2048^2, wash at 4096^2), interleaved strips below.
     fine_layout: str = "auto"  # 'auto' | 'interleaved' | 'plane'
     kind: str = "multigrid"
 
@@ -439,11 +439,12 @@ def multigrid_solve(
 
     layout = getattr(cfg, "fine_layout", "auto")
     if layout == "auto":
-        # measured crossover (LAYOUT_SHOOTOUT.jsonl): plane wins 1.7x at
-        # 4096^2 where the Mosaic window cap forces the fine level off the
-        # strip kernels; strips win below (plane only on TPU — on CPU/GPU
-        # the XLA interleaved path is the tested default)
-        layout = ("plane" if min(b.shape) >= 4096
+        # measured crossover (LAYOUT_SHOOTOUT.jsonl, post VMEM-limit
+        # raise): plane-resident wins 8% at 2048^2 (1.55 vs 1.68 ms/cycle)
+        # and ties at 4096^2 (8.07 vs 8.02); interleaved strips win 25%
+        # at 1024^2 (plane only on TPU — on CPU/GPU the XLA interleaved
+        # path is the tested default)
+        layout = ("plane" if min(b.shape) >= 2048
                   and jax.default_backend() == "tpu" else "interleaved")
     use_plane = (
         layout == "plane"
