@@ -114,12 +114,17 @@ class MultigridConfig:
     # half-sweep then touches half-size arrays with no color-masked waste,
     # halving both the streamed bytes and the arithmetic of the dominant
     # fine-level work; the split/merge conversions amortize to once per
-    # solve.  'auto' (default) resolves by the round-4 hardware shootout
-    # (benchmarks/LAYOUT_SHOOTOUT.jsonl, TPU v5e, ms/V-cycle, after the
-    # per-kernel scoped-VMEM raise un-gated large strip windows — 1024^2:
-    # strip 0.36 vs plane 0.45; 2048^2: strip 1.68 vs plane 1.55; 4096^2:
-    # strip 8.02 vs plane 8.07): plane-resident at >= 2048 rows (8% win at
-    # 2048^2, wash at 4096^2), interleaved strips below.
+    # solve.  'auto' (default) resolves by the round-4 hardware
+    # measurements, at the FULL-STEP level (CYCLE_TIMING.jsonl
+    # kind=fine-layout, TPU v5e, ms/SIMPLE-iteration, after the
+    # per-kernel scoped-VMEM raise un-gated large strip windows —
+    # 2048^2: interleaved 17.6 vs plane 19.3; 4096^2: 70.8 vs 81.8):
+    # interleaved strips at EVERY size.  The standalone-MG shootout
+    # (LAYOUT_SHOOTOUT.jsonl) had plane narrowly ahead at 2048^2 (1.55
+    # vs 1.68 ms/V-cycle), but that chained-cycle harness amortizes the
+    # split/merge conversions across back-to-back cycles; inside the
+    # step each pressure solve converts against interleaved-form
+    # assembly/momentum neighbors and the conversion cost wins out.
     fine_layout: str = "auto"  # 'auto' | 'interleaved' | 'plane'
     kind: str = "multigrid"
 
@@ -439,13 +444,13 @@ def multigrid_solve(
 
     layout = getattr(cfg, "fine_layout", "auto")
     if layout == "auto":
-        # measured crossover (LAYOUT_SHOOTOUT.jsonl, post VMEM-limit
-        # raise): plane-resident wins 8% at 2048^2 (1.55 vs 1.68 ms/cycle)
-        # and ties at 4096^2 (8.07 vs 8.02); interleaved strips win 25%
-        # at 1024^2 (plane only on TPU — on CPU/GPU the XLA interleaved
-        # path is the tested default)
-        layout = ("plane" if min(b.shape) >= 2048
-                  and jax.default_backend() == "tpu" else "interleaved")
+        # full-step measurements post VMEM-limit raise (CYCLE_TIMING.jsonl
+        # kind=fine-layout — 2048^2: interleaved 17.6 vs plane 19.3
+        # ms/iter; 4096^2: 70.8 vs 81.8): interleaved at every size.  The
+        # in-step split/merge conversions against interleaved-form
+        # neighbors cost more than plane's half-width sweeps save; see
+        # the MultigridConfig.fine_layout comment for the full account.
+        layout = "interleaved"
     use_plane = (
         layout == "plane"
         and five_fine and len(levels) > 1
