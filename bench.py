@@ -340,7 +340,12 @@ def _bench_large_grid(nx, re, n_iters=30):
     mesh = nf.StructuredMesh(nx=nx, ny=nx)
     fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
     bc = nf.lid_driven_cavity(1.0)
-    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    # Momentum inner budget 5, not 25: SIMPLE re-linearizes every outer
+    # step, so a tight inner solve is wasted work — measured at 2048^2
+    # (round 4, MOMENTUM_BUDGET.jsonl): outer residual after 40 fixed
+    # steps identical to 3 significant digits (1.3321e-3 vs 1.3319e-3)
+    # while the step cost drops ~19% (25.7 -> 20.7 ms, same harness).
+    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=5)
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8)
