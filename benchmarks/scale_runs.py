@@ -241,6 +241,75 @@ def run_newton_511(re_target, scheme="quick", nx=511):
                converged=bool(ndiag.converged),
                final_residual=float(ndiag.final_residual),
                ghia_infinity_error=round(float(err), 5)))
+    return final
+
+
+def run_newton_up(re_target=10000.0, scheme="quick", nx_fine=1023,
+                  nx_coarse=511):
+    """Round-4 verdict #2: Re=10000 under the 10% Ghia gate needs the
+    QUICK discretization at 1023^2 (the 511^2 QUICK limit is 26.3% on a
+    converged steady state).  Pipeline: the converged 511^2 Newton state
+    (run_newton_511) -> bilinear prolongation to ``nx_fine`` -> a bounded
+    fixed-point smoothing pass (kill prolongation artifacts; it will
+    stall at the post-Hopf limit cycle, which is fine) -> chunked
+    PTC-Newton (``gmres_chunk=1``: one GMRES(60) restart cycle per jitted
+    program, around the tunnel's ~60-100 s execution kill)."""
+    (nf, SIMPLEConfig, _, _, simple_solve,
+     KrylovMomentumConfig, MultigridConfig, inf_err) = _common()
+    from naviflow_tpu.algorithms import NewtonConfig, newton_solve
+    from naviflow_tpu.algorithms.sequencing import prolong_state
+
+    t_all = time.perf_counter()
+    coarse_state = run_newton_511(re_target, scheme=scheme, nx=nx_coarse)
+
+    mesh = nf.StructuredMesh(nx=nx_fine, ny=nx_fine)
+    bc = nf.lid_driven_cavity(1.0)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=re_target)
+    state = prolong_state(coarse_state, mesh, bc)
+
+    smooth_iters = int(os.environ.get("NEWTON_UP_SMOOTH", 600))
+    t0 = time.perf_counter()
+    if smooth_iters:
+        mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=30,
+                                   scheme=scheme)
+        pres = MultigridConfig(tolerance=1e-2, max_cycles=10,
+                               cycle_type="v", check_every=2,
+                               coarsest_sweeps=48)
+        state, diag0 = simple_solve(
+            mesh, fluid, bc, state,
+            SIMPLEConfig(max_iterations=smooth_iters, tolerance=1e-5,
+                         alpha_p=0.1, alpha_u=0.6),
+            momentum=mom, pressure=pres, loop="chunked:100")
+        print(json.dumps({"phase": "fine-smooth", "nx": nx_fine,
+                          "residual": float(diag0.final_residual),
+                          "wall_seconds": round(time.perf_counter() - t0,
+                                                1)}), flush=True)
+
+    t1 = time.perf_counter()
+    final, ndiag = newton_solve(
+        mesh, fluid, bc, state,
+        NewtonConfig(tolerance=1e-5, scheme=scheme, max_newton=30,
+                     gmres_tol=1e-2, gmres_restart=60, gmres_maxiter=240,
+                     gmres_chunk=1),
+        pressure=MultigridConfig(tolerance=1e-3, max_cycles=12,
+                                 check_every=4, coarsest_sweeps=48),
+        verbose=True,
+    )
+    newton_wall = time.perf_counter() - t1
+    err = inf_err(final.u, final.v, mesh, re_target)
+    _emit(dict(run=f"newton-re{int(re_target)}-{nx_fine}-{scheme}",
+               nx=nx_fine, re=re_target, tolerance=1e-5, scheme=scheme,
+               warmstart_wall_seconds=round(t1 - t_all, 1),
+               newton_wall_seconds=round(newton_wall, 1),
+               newton_iterations=ndiag.iterations,
+               gmres_iterations=ndiag.gmres_iterations,
+               newton_history=[round(float(h), 9)
+                               for h in ndiag.residual_history],
+               converged=bool(ndiag.converged),
+               final_residual=float(ndiag.final_residual),
+               ghia_infinity_error=round(float(err), 5),
+               ghia_passed=bool(float(err) < 0.1)))
+    return final
 
 
 def run_config4_257():
@@ -324,8 +393,14 @@ if __name__ == "__main__":
         run_highre_511(float(parts[1][2:]), scheme="luds")
     elif which.startswith("newton-re"):
         # newton-re7500-511-quick, newton-re10000-511-quick, ...
+        # newton-re10000-1023-quick routes through the sequence-up
+        # pipeline (511^2 Newton state -> prolong -> chunked PTC-Newton)
         parts = which.split("-")
-        run_newton_511(float(parts[1][2:]), scheme=parts[3],
-                       nx=int(parts[2]))
+        if int(parts[2]) > 515:
+            run_newton_up(float(parts[1][2:]), scheme=parts[3],
+                          nx_fine=int(parts[2]))
+        else:
+            run_newton_511(float(parts[1][2:]), scheme=parts[3],
+                           nx=int(parts[2]))
     else:
         raise SystemExit(f"unknown run: {which}")

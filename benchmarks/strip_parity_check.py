@@ -59,9 +59,11 @@ def main():
                       "residual_rel_diff": rres}))
 
     # Phase 2: the PLANE-resident fine level (ops/pallas_plane.py) —
-    # force fine_layout='plane' (auto only picks it at >=4096^2) and
-    # compare the plane strip kernels against the value-level XLA plane
-    # path.  Same re-association contract as phase 1.
+    # force fine_layout='plane' (auto resolves to interleaved at every
+    # size since the round-4 in-step shootout, solvers/multigrid.py, so
+    # plane must always be forced explicitly) and compare the plane
+    # strip kernels against the value-level XLA plane path.  Same
+    # re-association contract as phase 1.
     pout = {}
     for backend in ("auto", "xla"):
         pres = MultigridConfig(tolerance=1e-2, max_cycles=8, check_every=2,

@@ -83,7 +83,11 @@ def _plane_rows(m: int, nc: int) -> int:
     T=32 0.53 / **T=64 0.32** / T=128 0.80 — past T=64 the bigger
     window LOSES (less DMA/compute overlap across fewer grid steps),
     so bigger-if-it-fits is the wrong rule."""
-    for T in (64, 96, 128, 48, 32, 16, 8):
+    # no T=8: the down kernel's coarse output block is (T//2, nc) and
+    # T//2=4 would violate Mosaic's (8,128) sublane tiling on hardware
+    # (interpret-mode tests cannot catch it) — every candidate keeps
+    # T//2 a multiple of 8
+    for T in (64, 96, 128, 48, 32, 16):
         if T + 2 * H > m or m % T:
             continue
         if (T + 2 * H) * nc <= _CAP_CELLS:

@@ -666,6 +666,13 @@ def _pair_krylov_applicable(cfg, u_shape, v_shape, dtype, scheme, coeffs):
         return False
     if getattr(cfg, "batch_pair", "auto") == "off":
         return False
+    if getattr(cfg, "compensated_dots", False):
+        return False  # the batched dots are plain reassociated sums — a
+        # config that asked for compensated reductions must not silently
+        # lose them (advisor r4); the sequential path honors the flag
+    if getattr(cfg, "backend", "auto") == "xla":
+        return False  # sequential-parity escape hatch alongside
+        # batch_pair='off' (advisor r4)
     if scheme != "power_law":
         return False  # 9-point QUICK/LUDS systems use MomentumCoeffs9
     if (getattr(cfg, "backend", "auto") in ("auto", "pallas")

@@ -80,3 +80,77 @@ def test_newton_quick_scheme_converges():
     # monotone tail: the line search never accepts an increase
     hist = diag.residual_history
     assert hist[-1] < hist[0]
+
+
+def test_newton_chunked_gmres_matches_monolithic():
+    """``gmres_chunk > 0`` splits the GMRES restart cycles across host
+    calls (the 1023^2+ path around the tunnel's ~60-100 s execution
+    kill).  A restart cycle is a fresh Arnoldi from the current residual,
+    so the chunked solve IS the monolithic solve: same Newton trajectory
+    to roundoff, same step count."""
+    mesh, fluid, bc, state = _setup()
+
+    warm, _ = simple_solve(
+        mesh, fluid, bc, state,
+        SIMPLEConfig(max_iterations=30, tolerance=0.0),
+        momentum=MOM, pressure=PRES, loop="fused")
+
+    base = NewtonConfig(tolerance=1e-10, scheme="power_law", max_newton=12,
+                        gmres_restart=20, gmres_maxiter=60)
+    out = {}
+    for chunk in (0, 1):
+        cfg = NewtonConfig(**{**base.__dict__, "gmres_chunk": chunk})
+        _, diag = newton_solve(mesh, fluid, bc, warm, cfg)
+        out[chunk] = diag
+    assert out[0].converged and out[1].converged
+    assert out[0].iterations == out[1].iterations, (
+        out[0].residual_history, out[1].residual_history)
+    h0 = jnp.asarray(out[0].residual_history)
+    h1 = jnp.asarray(out[1].residual_history)
+    assert jnp.allclose(h0, h1, rtol=1e-8), (h0, h1)
+
+
+def test_newton_step_runs_sharded():
+    """The Newton residual/Jacobian/preconditioner build composes with the
+    distributed path (round-4 verdict #6): the same jitted Newton-step
+    program runs on a sharded ``w`` over the full 8-device CPU mesh (GSPMD
+    partitions the stencil assembly, the linearization, and the GMRES
+    reductions), and must agree with the single-device step."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from naviflow_tpu.algorithms.newton import (_build_newton_step,
+                                                _flatten)
+    from naviflow_tpu.core.bc import apply_velocity_bcs
+    from naviflow_tpu.parallel.sharding import make_device_mesh
+
+    # nx=32 (not 31): device_put rejects uneven 1-D shardings, and the
+    # flattened state length 3*nx^2 + 2*nx is 8-divisible for even nx
+    mesh, fluid, bc, state = _setup(nx=32)
+    warm, _ = simple_solve(
+        mesh, fluid, bc, state,
+        SIMPLEConfig(max_iterations=30, tolerance=0.0),
+        momentum=MOM, pressure=PRES, loop="fused")
+
+    dx, dy = mesh.get_cell_sizes()
+    cfg = NewtonConfig(tolerance=1e-10, scheme="power_law",
+                       gmres_restart=20, gmres_maxiter=40)
+    pres_cfg = MultigridConfig(tolerance=1e-3, max_cycles=12, check_every=4)
+    step, _, _ = _build_newton_step(
+        warm.u.shape, warm.v.shape, warm.p.shape, dx, dy,
+        fluid.get_density(), fluid.get_viscosity(), bc, cfg, pres_cfg)
+
+    u, v = apply_velocity_bcs(warm.u, warm.v, bc)
+    w = _flatten(u, v, warm.p)
+    damping = jnp.asarray(1.0, w.dtype)
+    inv_dtau = jnp.asarray(2.0, w.dtype)
+
+    w1_ref, norm_ref, *_ = step(w, damping, inv_dtau)
+
+    dmesh = make_device_mesh(8, shape=(8, 1))
+    w_sh = jax.device_put(w, NamedSharding(dmesh, P("x")))
+    w1_sh, norm_sh, *_ = step(w_sh, damping, inv_dtau)
+
+    assert float(jnp.max(jnp.abs(w1_sh - w1_ref))) < 1e-9 * float(
+        jnp.max(jnp.abs(w1_ref)) + 1.0)
+    assert abs(float(norm_sh) - float(norm_ref)) < 1e-10
