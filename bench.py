@@ -142,11 +142,15 @@ def main():
     # ---- large-grid throughput: measured ms/iter at big_nx^2 --------------
     if big_nx:
         row["large_grid"] = _bench_large_grid(big_nx, re)
-    # scaling row one size up (skippable with BENCH_BIG2_NX=0); 4096^2 is
-    # measured offline (BENCHMARKS.md) — too slow for the per-round bench
+    # scaling rows one and two sizes up (skippable with BENCH_BIG2_NX=0 /
+    # BENCH_BIG3_NX=0); the 4096^2 capability goes in the artifact of
+    # record (round-4 verdict #5) — a short two-point slope fits the budget
     big2 = int(os.environ.get("BENCH_BIG2_NX", 2048))
     if big2:
         row["large_grid_2"] = _bench_large_grid(big2, re, n_iters=20)
+    big3 = int(os.environ.get("BENCH_BIG3_NX", 4096))
+    if big3:
+        row["large_grid_3"] = _bench_large_grid(big3, re, n_iters=6)
 
     # ---- hardware-numerics regression (runs on whatever jax.devices()[0]
     # is — on the real TPU this certifies the fused kernels' MXU numerics,
@@ -290,33 +294,48 @@ def _distributed_check(nx=64, n_steps=5):
 
     out = {"ok": False}
     try:
+        from naviflow_tpu.algorithms import SIMPLECConfig, simplec_solve
+
         mesh = nf.StructuredMesh(nx=nx, ny=nx)
         fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
         bc = nf.lid_driven_cavity(1.0)
-        # each solve gets its OWN initial state: both loop harnesses donate
-        # their carries, so sharing one state means the second solve reads
-        # deleted buffers ("Array has been deleted", measured on hardware)
-        state = nf.initialize_state(mesh, bc)
-        state2 = nf.initialize_state(mesh, bc)
-
         dmesh = make_device_mesh(1)
-        fd, dd = distributed_simple_solve(
-            mesh, fluid, bc, state, dmesh,
-            DistributedConfig(max_iterations=n_steps, tolerance=0.0,
-                              momentum_sweeps=2, pressure_solver="cg",
-                              pressure_tol=1e-6, pressure_max_iter=200,
-                              check_every=n_steps))
-        fs, _ = simple_solve(
-            mesh, fluid, bc, state2,
-            SIMPLEConfig(max_iterations=n_steps, tolerance=0.0),
-            momentum=JacobiMomentumConfig(n_sweeps=2),
-            pressure=CGPressureConfig(tolerance=1e-6, max_iterations=200),
-            loop="fused")
-        diff = max(float(jnp.max(jnp.abs(fd.u - fs.u))),
-                   float(jnp.max(jnp.abs(fd.v - fs.v))))
-        out["max_uv_diff"] = round(diff, 9)
-        out["final_residual"] = float(dd["final_residual"])
-        out["ok"] = bool(diff < 1e-4 and jnp.isfinite(diff))
+        algos = {}
+        for algo, single_solve, single_cfg in (
+                ("simple", simple_solve,
+                 SIMPLEConfig(max_iterations=n_steps, tolerance=0.0)),
+                # alpha_p pinned: SIMPLECConfig defaults 0.2 (the reference
+                # SimplecSolver ctor), DistributedConfig 0.3 — the parity
+                # comparison needs one value on both sides
+                ("simplec", simplec_solve,
+                 SIMPLECConfig(max_iterations=n_steps, tolerance=0.0,
+                               alpha_p=0.3)),
+        ):
+            # each solve gets its OWN initial state: both loop harnesses
+            # donate their carries, so sharing one state means the second
+            # solve reads deleted buffers (measured on hardware)
+            fd, dd = distributed_simple_solve(
+                mesh, fluid, bc, nf.initialize_state(mesh, bc), dmesh,
+                DistributedConfig(max_iterations=n_steps, tolerance=0.0,
+                                  momentum_sweeps=2, pressure_solver="cg",
+                                  pressure_tol=1e-6, pressure_max_iter=200,
+                                  check_every=n_steps, algorithm=algo))
+            fs, _ = single_solve(
+                mesh, fluid, bc, nf.initialize_state(mesh, bc), single_cfg,
+                momentum=JacobiMomentumConfig(n_sweeps=2),
+                pressure=CGPressureConfig(tolerance=1e-6,
+                                          max_iterations=200),
+                loop="fused")
+            diff = max(float(jnp.max(jnp.abs(fd.u - fs.u))),
+                       float(jnp.max(jnp.abs(fd.v - fs.v))))
+            algos[algo] = round(diff, 9)
+            if algo == "simple":
+                out["max_uv_diff"] = round(diff, 9)
+                out["final_residual"] = float(dd["final_residual"])
+        out["algos"] = algos
+        out["ok"] = bool(all(d < 1e-4 for d in algos.values())
+                         and jnp.isfinite(jnp.asarray(list(algos.values())))
+                         .all())
     except Exception as e:  # pragma: no cover - diagnostic path
         out["error"] = f"{type(e).__name__}: {e}"
     return out

@@ -40,7 +40,8 @@ enable_persistent_cache()
 
 import naviflow_tpu as nf
 from naviflow_tpu.algorithms import SIMPLEConfig, simple_solve
-from naviflow_tpu.solvers import JacobiMomentumConfig, KrylovMomentumConfig
+from naviflow_tpu.solvers import (ChebyshevMomentumConfig,
+                                  JacobiMomentumConfig, KrylovMomentumConfig)
 from naviflow_tpu.solvers.momentum import RBGSMomentumConfig
 from naviflow_tpu.solvers.multigrid import MultigridConfig
 
@@ -74,7 +75,13 @@ def main():
         ("jacobi12", JacobiMomentumConfig(n_sweeps=12)),
         ("rbgs2", RBGSMomentumConfig(n_sweeps=2)),
         ("rbgs4", RBGSMomentumConfig(n_sweeps=4)),
+        ("cheby4", ChebyshevMomentumConfig(degree=4)),
+        ("cheby6", ChebyshevMomentumConfig(degree=6)),
     ]
+    only = os.environ.get("MOM_STUDY_ONLY")
+    if only:
+        names = only.split(",")
+        candidates = [c for c in candidates if c[0] in names]
 
     def fresh():
         seed = struct.unpack("<I", os.urandom(4))[0]

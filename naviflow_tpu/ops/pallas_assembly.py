@@ -56,11 +56,21 @@ from .pallas_mg import kernel_params
 PAD = 16  # >= the 1-ring halo; keeps DMA offsets and row slices aligned
 
 
+# Window cap in cells ((T + 2*PAD) * lane-padded ny).  The assembly traces
+# ~20 live (T+2, ny) temporaries through Mosaic's liveness stack, so its
+# budget is tighter than the smoothing strips'.  96k cells was the
+# empirical bound against the DEFAULT 16 MiB scoped-VMEM stack; under the
+# raised 64 MiB per-kernel limit (pallas_mg.kernel_params) the hardware
+# re-probe (benchmarks/assembly_cap_probe.py, round 5) re-measures it —
+# at 2048^2 the 96k cap forces T=16 (a 3x halo-redundancy tax: W=48 rows
+# DMA'd per 16 owned) and at 4096^2 it excludes the kernel entirely.
+_CAP_CELLS = 96 * 1024
+
+
 def _strip_rows_assembly(nx: int, ny: int) -> int:
-    """Strip height: the assembly traces ~20 live (T+2, ny) temporaries
-    through Mosaic's liveness stack, so keep the window small."""
-    for T in (64, 32, 16):
-        if nx % T == 0 and (T + 2 * PAD) * ny <= 96 * 1024:
+    """Largest strip height whose window fits the assembly VMEM budget."""
+    for T in (128, 64, 32, 16):
+        if nx % T == 0 and (T + 2 * PAD) * ny <= _CAP_CELLS:
             return T
     return 0
 

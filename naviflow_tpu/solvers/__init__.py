@@ -1,4 +1,5 @@
 from .momentum import (
+    ChebyshevMomentumConfig,
     GMRESMomentumConfig,
     IDRSMomentumConfig,
     JacobiMomentumConfig,

@@ -99,6 +99,38 @@ class RBGSMomentumConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ChebyshevMomentumConfig:
+    """Reduction-LIGHT momentum inner solve: fixed-degree Chebyshev
+    iteration on the Jacobi-preconditioned relaxed momentum system.
+
+    Round-4/5 phase attribution (``benchmarks/profile_phases.py``,
+    ``probe_step_parts.py``) pinned the large-grid SIMPLE step on the
+    momentum BiCGSTAB's global reductions: every Krylov iteration is
+    4 dots + 2 norms = full-array pipeline barriers, and at 2048^2 the
+    two momentum solves cost 11.2 ms of a 15.4 ms step-body.  The
+    relaxed momentum system is strongly diagonally dominant (Patankar
+    relaxation divides the diagonal by ``alpha``: the Jacobi iteration
+    ratio is bounded by ~``alpha`` + flux-imbalance), so a fixed-degree
+    Chebyshev polynomial in ``D^-1 A`` — ``degree`` fused stencil
+    applies, ZERO global reductions in the iteration — reaches BiCGSTAB-
+    grade error reduction for this inner role.  Eigenvalue bounds come
+    from one Gershgorin max-reduction per solve (2 barriers/solve total
+    vs BiCGSTAB's 6/iteration); cf. the reference's own fixed-sweep
+    ``jacobi_solver.JacobiMomentumSolver`` (the role model) and its
+    omega-tuning studies (``spectral_radius_damping.py``), whose
+    TPU-native upgrade this is (SURVEY §7)."""
+
+    degree: int = 6
+    # spectral-bound safety margin on the Gershgorin radius (the momentum
+    # operator is nonsymmetric; a slightly inflated interval keeps the
+    # complex convection eigenvalues inside the Chebyshev ellipse)
+    bound_margin: float = 1.05
+    scheme: str = "power_law"
+    compensated_residual: bool = False
+    kind: str = "chebyshev"
+
+
+@dataclasses.dataclass(frozen=True)
 class IDRSMomentumConfig:
     """IDR(s) momentum solve (reference ``matrix_free_momentum._idrs``,
     :175-340 — the Sonneveld & van Gijzen induced-dimension-reduction
@@ -203,6 +235,54 @@ def _rbgs_sweeps(x0, c, mask, n_sweeps: int, omega: float):
         return half(half(x, red), black)
 
     return jax.lax.fori_loop(0, n_sweeps, body, x0)
+
+
+def _chebyshev_masked(x0, c, mask, degree: int, margin: float = 1.05):
+    """Fixed-degree Chebyshev iteration on the masked momentum system,
+    preconditioned by the diagonal (see :class:`ChebyshevMomentumConfig`).
+
+    Spectral interval for ``D^-1 A`` from Gershgorin: every disk is
+    centered at 1 with radius ``sum(a_nb)/a_p`` (power-law neighbor
+    coefficients are nonnegative), so the spectrum lies in
+    ``[1 - rho, 1 + rho]`` with ``rho = max_masked ratio`` — ONE global
+    reduction per solve; the ``degree`` iterations themselves are
+    reduction-free stencil applies + axpys.  Standard D'Azevedo/hypre
+    three-term recurrence."""
+    dtype = x0.dtype
+    mask_f = mask.astype(dtype)
+    safe_ap = jnp.where(c.a_p == 0, jnp.ones_like(c.a_p), c.a_p)
+    inv_d = mask_f / safe_ap
+    if isinstance(c, MomentumCoeffs9):
+        from ..ops.highorder import _OFFSETS
+
+        nb_abs = sum(jnp.abs(getattr(c, name)) for name in _OFFSETS)
+    else:
+        nb_abs = (jnp.abs(c.a_e) + jnp.abs(c.a_w)
+                  + jnp.abs(c.a_n) + jnp.abs(c.a_s))
+    ratio = jnp.where(mask, nb_abs / safe_ap, 0.0)
+    rho = jnp.minimum(jnp.max(ratio) * margin, 0.999)
+    lmin = 1.0 - rho
+    lmax = 1.0 + rho
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+
+    def A(x):
+        return _apply(x, c) * mask_f
+
+    b = c.src * mask_f
+    x = x0 * mask_f
+    r = b - A(x)
+    d = (r * inv_d) / theta
+    x = x + d
+    rho_k = 1.0 / sigma1
+    for _ in range(degree - 1):
+        r = b - A(x)
+        rho_next = 1.0 / (2.0 * sigma1 - rho_k)
+        d = (rho_next * rho_k) * d + (2.0 * rho_next / delta) * (r * inv_d)
+        x = x + d
+        rho_k = rho_next
+    return jnp.where(mask, x, x0)
 
 
 def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int,
@@ -471,6 +551,9 @@ def _inner_solve(x0, c_rel, mask, cfg):
         return _jacobi_sweeps(x0, c_rel, mask, cfg.n_sweeps)
     if cfg.kind == "rbgs":
         return _rbgs_sweeps(x0, c_rel, mask, cfg.n_sweeps, cfg.omega)
+    if cfg.kind == "chebyshev":
+        return _chebyshev_masked(x0, c_rel, mask, cfg.degree,
+                                 cfg.bound_margin)
     if cfg.kind == "bicgstab":
         if (getattr(cfg, "backend", "auto") in ("auto", "pallas")
                 and not isinstance(c_rel, MomentumCoeffs9)

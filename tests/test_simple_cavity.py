@@ -71,6 +71,25 @@ def test_jacobi_momentum_variant_converges():
     assert bool(diag.converged)
 
 
+def test_chebyshev_momentum_variant_converges_like_krylov():
+    """The reduction-light Chebyshev momentum solve (the large-grid default
+    lever, round-5) must reproduce the Krylov-momentum solution: SIMPLE
+    re-linearizes every outer step, so an inner solve accurate to ~2 digits
+    converges to the same fixed point; we pin both the convergence and the
+    final fields."""
+    from naviflow_tpu.solvers import ChebyshevMomentumConfig
+
+    mesh, f_cheb, d_cheb = _run(nx=31, re=100, tol=1e-5, max_it=4000,
+                                momentum=ChebyshevMomentumConfig(degree=6))
+    _, f_kry, d_kry = _run(nx=31, re=100, tol=1e-5, max_it=4000)
+    assert bool(d_cheb.converged)
+    assert float(jnp.max(jnp.abs(f_cheb.u - f_kry.u))) < 1e-4
+    assert float(jnp.max(jnp.abs(f_cheb.v - f_kry.v))) < 1e-4
+    # inner-iteration economy must not distort the outer trajectory much
+    assert abs(int(d_cheb.iterations) - int(d_kry.iterations)) \
+        <= 0.15 * int(d_kry.iterations) + 5
+
+
 def test_reference_parity_mode_stalls_like_reference():
     """The reference operator + boundary-pressure overwrite floor the outer
     residual near 1e-3 (documented quirk) — verify we reproduce that mode."""
