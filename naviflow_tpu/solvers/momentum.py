@@ -127,6 +127,10 @@ class ChebyshevMomentumConfig:
     bound_margin: float = 1.05
     scheme: str = "power_law"
     compensated_residual: bool = False
+    # 'auto'/'pallas': strip-blocked VMEM-resident solve+residual kernel
+    # (ops/pallas_cheby.py) on large TPU grids; 'xla' forces the composed
+    # whole-array iteration (parity escape hatch)
+    backend: str = "auto"
     kind: str = "chebyshev"
 
 
@@ -237,21 +241,13 @@ def _rbgs_sweeps(x0, c, mask, n_sweeps: int, omega: float):
     return jax.lax.fori_loop(0, n_sweeps, body, x0)
 
 
-def _chebyshev_masked(x0, c, mask, degree: int, margin: float = 1.05):
-    """Fixed-degree Chebyshev iteration on the masked momentum system,
-    preconditioned by the diagonal (see :class:`ChebyshevMomentumConfig`).
-
-    Spectral interval for ``D^-1 A`` from Gershgorin: every disk is
+def _chebyshev_bounds(c, mask, margin: float = 1.05):
+    """Spectral interval for ``D^-1 A`` from Gershgorin: every disk is
     centered at 1 with radius ``sum(a_nb)/a_p`` (power-law neighbor
     coefficients are nonnegative), so the spectrum lies in
     ``[1 - rho, 1 + rho]`` with ``rho = max_masked ratio`` — ONE global
-    reduction per solve; the ``degree`` iterations themselves are
-    reduction-free stencil applies + axpys.  Standard D'Azevedo/hypre
-    three-term recurrence."""
-    dtype = x0.dtype
-    mask_f = mask.astype(dtype)
+    reduction per solve.  Returns ``(theta, delta, sigma1)`` scalars."""
     safe_ap = jnp.where(c.a_p == 0, jnp.ones_like(c.a_p), c.a_p)
-    inv_d = mask_f / safe_ap
     if isinstance(c, MomentumCoeffs9):
         from ..ops.highorder import _OFFSETS
 
@@ -266,6 +262,19 @@ def _chebyshev_masked(x0, c, mask, degree: int, margin: float = 1.05):
     theta = (lmax + lmin) / 2.0
     delta = (lmax - lmin) / 2.0
     sigma1 = theta / delta
+    return theta, delta, sigma1
+
+
+def _chebyshev_iterate(x0, c, mask, theta, delta, sigma1, degree: int):
+    """The reduction-free part of the Chebyshev solve: ``degree`` fused
+    stencil applies + axpys (standard D'Azevedo/hypre three-term
+    recurrence), given precomputed interval scalars.  Shared verbatim by
+    the XLA path and the strip-blocked Pallas kernel
+    (``ops/pallas_cheby.py``) so the two trace identical arithmetic."""
+    dtype = x0.dtype
+    mask_f = mask.astype(dtype)
+    safe_ap = jnp.where(c.a_p == 0, jnp.ones_like(c.a_p), c.a_p)
+    inv_d = mask_f / safe_ap
 
     def A(x):
         return _apply(x, c) * mask_f
@@ -283,6 +292,13 @@ def _chebyshev_masked(x0, c, mask, degree: int, margin: float = 1.05):
         x = x + d
         rho_k = rho_next
     return jnp.where(mask, x, x0)
+
+
+def _chebyshev_masked(x0, c, mask, degree: int, margin: float = 1.05):
+    """Fixed-degree Chebyshev iteration on the masked momentum system,
+    preconditioned by the diagonal (see :class:`ChebyshevMomentumConfig`)."""
+    theta, delta, sigma1 = _chebyshev_bounds(c, mask, margin)
+    return _chebyshev_iterate(x0, c, mask, theta, delta, sigma1, degree)
 
 
 def _bicgstab_masked(x0, c, mask, tol: float, maxiter: int,
@@ -627,6 +643,39 @@ def _unrelaxed_residual(x_star, c_un, *, is_u: bool, compensated: bool = False):
     return rf, norm
 
 
+def _cheby_strips_applicable(cfg, shape, dtype, c_rel):
+    """Gate for the strip-blocked Chebyshev solve+residual kernel
+    (ops/pallas_cheby.py): five-point systems on large TPU grids."""
+    if getattr(cfg, "kind", None) != "chebyshev":
+        return False
+    if getattr(cfg, "backend", "auto") not in ("auto", "pallas"):
+        return False
+    if getattr(cfg, "compensated_residual", False):
+        return False  # the compensated residual stays on the XLA path
+    if not isinstance(c_rel, StencilCoeffs):
+        return False  # 9-point QUICK/LUDS systems
+    from ..ops.pallas_cheby import supports_cheby_strips
+
+    return supports_cheby_strips(shape, dtype)
+
+
+def _cheby_strip_field(x0, c_un, c_rel, mask, cfg, *, is_u: bool):
+    """One field through the fused strip kernel.  Returns the same
+    ``(x_star, r_field, r_norm)`` as the XLA composition: the kernel's
+    masked residual zeroes exactly the complement of the norm region, so
+    its L2 IS the reference interior norm, and the diagnostics field is a
+    further border mask of it (``_unrelaxed_residual`` margins)."""
+    from ..ops.pallas_cheby import chebyshev_momentum_strips
+
+    theta, delta, sigma1 = _chebyshev_bounds(c_rel, mask, cfg.bound_margin)
+    x_star, r_m = chebyshev_momentum_strips(
+        x0, c_rel, c_un, theta=theta, delta=delta, sigma1=sigma1,
+        degree=cfg.degree)
+    margins = (2, 2, 1, 1) if is_u else (1, 1, 2, 2)
+    r_field = jnp.where(interior_mask(r_m.shape, *margins), r_m, 0.0)
+    return x_star, r_field, jnp.linalg.norm(r_m)
+
+
 def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg,
                      coeffs=None):
     """u-momentum predictor.  Returns (u_star, d_u, r_field, r_norm).
@@ -643,9 +692,14 @@ def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
                                 is_u=True)
         c_rel = _relax(c_un, u, alpha)
     mask = _u_interior_mask(u.shape)
+    d_u = d_coefficient(c_rel.a_p, dy, is_u=True)
+    if _cheby_strips_applicable(cfg, u.shape, u.dtype, c_rel):
+        u_star, r_field, r_norm = _cheby_strip_field(
+            u, c_un, c_rel, mask, cfg, is_u=True)
+        u_star, _ = apply_velocity_bcs(u_star, v, bc)
+        return u_star, d_u, r_field, r_norm
     u_star = _inner_solve(u, c_rel, mask, cfg)
     u_star, _ = apply_velocity_bcs(u_star, v, bc)
-    d_u = d_coefficient(c_rel.a_p, dy, is_u=True)
     r_field, r_norm = _unrelaxed_residual(
         u_star, c_un, is_u=True,
         compensated=getattr(cfg, "compensated_residual", False))
@@ -664,9 +718,14 @@ def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
                                 is_u=False)
         c_rel = _relax(c_un, v, alpha)
     mask = _v_interior_mask(v.shape)
+    d_v = d_coefficient(c_rel.a_p, dx, is_u=False)
+    if _cheby_strips_applicable(cfg, v.shape, v.dtype, c_rel):
+        v_star, r_field, r_norm = _cheby_strip_field(
+            v, c_un, c_rel, mask, cfg, is_u=False)
+        _, v_star = apply_velocity_bcs(u, v_star, bc)
+        return v_star, d_v, r_field, r_norm
     v_star = _inner_solve(v, c_rel, mask, cfg)
     _, v_star = apply_velocity_bcs(u, v_star, bc)
-    d_v = d_coefficient(c_rel.a_p, dx, is_u=False)
     r_field, r_norm = _unrelaxed_residual(
         v_star, c_un, is_u=False,
         compensated=getattr(cfg, "compensated_residual", False))
