@@ -356,15 +356,22 @@ def _bench_large_grid(nx, re, n_iters=30):
     from naviflow_tpu.solvers import KrylovMomentumConfig
     from naviflow_tpu.solvers.multigrid import MultigridConfig
 
+    from naviflow_tpu.solvers import ChebyshevMomentumConfig
+
     mesh = nf.StructuredMesh(nx=nx, ny=nx)
     fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
     bc = nf.lid_driven_cavity(1.0)
-    # Momentum inner budget 5, not 25: SIMPLE re-linearizes every outer
-    # step, so a tight inner solve is wasted work — measured at 2048^2
-    # (round 4, MOMENTUM_BUDGET.jsonl): outer residual after 40 fixed
-    # steps identical to 3 significant digits (1.3321e-3 vs 1.3319e-3)
-    # while the step cost drops ~19% (25.7 -> 20.7 ms, same harness).
-    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=5)
+    # Large-grid momentum default: fixed-degree Chebyshev through the
+    # strip-blocked VMEM kernel (ops/pallas_cheby.py) — zero reductions
+    # in the iteration, one HBM pass over the coefficients.  Measured at
+    # 2048^2 (MOMENTUM_BUDGET.jsonl, round 5): the XLA Chebyshev already
+    # beat the round-4 pair-BiCGSTAB(5) 10.94 vs 17.65 ms/iter with the
+    # 40-fixed-step residual within 1%; the strip kernel removes the
+    # remaining coefficient streaming.  BENCH_MOM=bicgstab restores the
+    # round-4 configuration (inner budget 5 — see MOMENTUM_BUDGET.jsonl).
+    mom_kind = os.environ.get("BENCH_MOM", "cheby")
+    mom = (ChebyshevMomentumConfig(degree=4) if mom_kind == "cheby"
+           else KrylovMomentumConfig(tolerance=1e-6, max_iterations=5))
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8)

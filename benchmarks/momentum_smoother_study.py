@@ -75,8 +75,13 @@ def main():
         ("jacobi12", JacobiMomentumConfig(n_sweeps=12)),
         ("rbgs2", RBGSMomentumConfig(n_sweeps=2)),
         ("rbgs4", RBGSMomentumConfig(n_sweeps=4)),
+        # backend='auto' routes through the strip-blocked VMEM kernel
+        # (ops/pallas_cheby.py) on large TPU grids; 'xla' is the
+        # whole-array composition it replaces
         ("cheby4", ChebyshevMomentumConfig(degree=4)),
         ("cheby6", ChebyshevMomentumConfig(degree=6)),
+        ("cheby4_xla", ChebyshevMomentumConfig(degree=4, backend="xla")),
+        ("cheby6_xla", ChebyshevMomentumConfig(degree=6, backend="xla")),
     ]
     only = os.environ.get("MOM_STUDY_ONLY")
     if only:

@@ -89,6 +89,8 @@ def main():
 
         return timeit(name, jax.jit(chain), (u, v, p, ex), reps)
 
+    from naviflow_tpu.solvers import ChebyshevMomentumConfig
+
     base = run_case("base_pair_b%d_nocycles" % budget,
                     KrylovMomentumConfig(tolerance=1e-6,
                                          max_iterations=budget), 0)
@@ -98,15 +100,24 @@ def main():
                    KrylovMomentumConfig(tolerance=1e-6, max_iterations=budget,
                                         batch_pair="off"), 0)
     jac = run_case("jacobi8_nocycles", JacobiMomentumConfig(n_sweeps=8), 0)
+    chs = run_case("cheby4_strip_nocycles",
+                   ChebyshevMomentumConfig(degree=4), 0)
+    chx = run_case("cheby4_xla_nocycles",
+                   ChebyshevMomentumConfig(degree=4, backend="xla"), 0)
     full = run_case("base_pair_b%d_8cycles" % budget,
                     KrylovMomentumConfig(tolerance=1e-6,
                                          max_iterations=budget), 8)
+    fullc = run_case("cheby4_strip_8cycles",
+                     ChebyshevMomentumConfig(degree=4), 8)
     print(json.dumps({"case": "deltas", "nx": nx,
                       "krylov_loop": round(base - mom0, 3),
                       "stack_and_r0_etc": round(mom0 - 0, 3),
                       "seq_vs_pair": round(seq - base, 3),
                       "jacobi8_vs_pair": round(jac - base, 3),
-                      "cycles": round(full - base, 3)}))
+                      "cheby4_strip_vs_pair": round(chs - base, 3),
+                      "cheby4_strip_vs_xla": round(chs - chx, 3),
+                      "cycles": round(full - base, 3),
+                      "cheby_full": round(fullc, 3)}))
 
 
 if __name__ == "__main__":

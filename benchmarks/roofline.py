@@ -89,7 +89,27 @@ def _assembly_launch_bytes(nx, ny):
     return read + write, once
 
 
-def pallas_step_traffic(nx, pres_cfg):
+def _cheby_launch_bytes(NI, NJ, degree=4):
+    """One chebyshev_momentum_strips launch (ops/pallas_cheby.py): 9
+    coefficient/field windows in, x* and the masked residual out.  The
+    degree does not change the traffic — that is the point of the
+    kernel."""
+    from naviflow_tpu.ops.pallas_cheby import H, _lane, _strip_rows
+
+    lane_nj = _lane(NJ)
+    T = _strip_rows(NI, lane_nj)
+    if not T:
+        return None
+    W = T + 2 * H
+    R_pad = -(-NI // T) * T
+    G = R_pad // T
+    read = 9 * G * W * lane_nj * _B
+    write = 2 * R_pad * lane_nj * _B
+    once = 9 * NI * NJ * _B + write
+    return read + write, once
+
+
+def pallas_step_traffic(nx, pres_cfg, mom_cfg=None):
     """Analytic per-unit HBM traffic of every Pallas custom call in the
     production SIMPLE step (XLA's ``cost_analysis`` is blind to custom-
     call internals — round-4 reading-rule (a), now replaced by this
@@ -138,6 +158,14 @@ def pallas_step_traffic(nx, pres_cfg):
         cyc_dma = cyc_once = tot * _B
     step = _assembly_launch_bytes(nx, nx)
     step_dma, step_once = step if step else (0, 0)
+    if getattr(mom_cfg, "kind", None) == "chebyshev":
+        from naviflow_tpu.ops.pallas_cheby import supports_cheby_strips
+
+        for NI, NJ in ((nx + 1, nx), (nx, nx + 1)):  # u then v field
+            if supports_cheby_strips((NI, NJ), jnp.float32):
+                db, ob = _cheby_launch_bytes(NI, NJ)
+                step_dma += db
+                step_once += ob
     return (dict(dma=cyc_dma, once=cyc_once),
             dict(dma=step_dma, once=step_once))
 
@@ -179,7 +207,13 @@ def measure(nx, n_iters):
     fluid = nf.FluidProperties(density=1.0, reynolds_number=1000.0)
     bc = nf.lid_driven_cavity(1.0)
     cfg = SIMPLEConfig(max_iterations=n_iters, tolerance=0.0)
-    mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=25)
+    # match bench.py's large-grid production config (BENCH_MOM knob):
+    # strip-Chebyshev momentum by default, round-4 BiCGSTAB on request
+    from naviflow_tpu.solvers import ChebyshevMomentumConfig
+
+    mom = (ChebyshevMomentumConfig(degree=4)
+           if os.environ.get("BENCH_MOM", "cheby") == "cheby"
+           else KrylovMomentumConfig(tolerance=1e-6, max_iterations=5))
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,
                            coarse_rebuild_every=8)
@@ -241,7 +275,7 @@ def measure(nx, n_iters):
     # counter is blind to custom-call internals, so count them analytically
     # from the static window geometry, scaled by the MEASURED average
     # V-cycles/iteration of the real step (dynamic early-exit trip count).
-    cyc, per_step = pallas_step_traffic(nx, pres)
+    cyc, per_step = pallas_step_traffic(nx, pres, mom)
     avg_cycles = measure_avg_cycles(nx, mom, pres)
     # calibration (measured once, `calibrate_cc_counting()`): XLA's
     # 'bytes accessed' bills custom-call operands/results ~once each, so
