@@ -103,11 +103,16 @@ class DistributedConfig:
     # 'jacobi': momentum_sweeps masked Jacobi sweeps; 'bicgstab': the
     # matrix-free Krylov predictor of solvers/momentum.py distributed —
     # halo'd matvecs, psum dots weighted to count duplicated staggered
-    # shared faces once (VERDICT r1 weak #4)
+    # shared faces once (VERDICT r1 weak #4); 'chebyshev': the
+    # reduction-light fixed-degree solve of
+    # solvers/momentum._chebyshev_iterate distributed — halo'd applies,
+    # ONE pmax per solve for the Gershgorin bound (the large-grid
+    # single-chip default composed with the distributed path)
     momentum_solver: str = "jacobi"
     momentum_sweeps: int = 2
     momentum_tol: float = 1e-6
     momentum_max_iter: int = 20
+    momentum_degree: int = 6
     # momentum discretization: 'power_law' (5-pt, 1-ring halos) or
     # 'quick'/'luds' (9-pt second-neighbor stencils, 2-ring halos)
     scheme: str = "power_law"
@@ -131,6 +136,56 @@ def _iotas(shape, gi0, gj0):
     gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     gj = gj0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     return gi, gj
+
+
+def _cheby_mom_dist(x0, c, apply_fn, mask, degree, margin=1.05):
+    """Distributed fixed-degree Chebyshev momentum predictor.
+
+    Mirrors ``solvers/momentum._chebyshev_bounds`` + ``_chebyshev_iterate``
+    with the stencil apply halo-exchanged: the Gershgorin radius is ONE
+    ``pmax`` per solve (max over duplicated faces is duplication-safe),
+    and the ``degree`` iterations themselves are reduction-free — the
+    distributed form of the single-chip large-grid default
+    (``ChebyshevMomentumConfig``).  All blocks compute the identical
+    interval scalars, so duplicated shared-face copies stay
+    bit-consistent through the updates.
+    """
+    dt = x0.dtype
+    mask_f = mask.astype(dt)
+    safe_ap = jnp.where(c.a_p == 0, jnp.ones_like(c.a_p), c.a_p)
+    if isinstance(c, MomentumCoeffs9):
+        nb_abs = sum(jnp.abs(getattr(c, name)) for name in _OFFSETS)
+    else:
+        nb_abs = (jnp.abs(c.a_e) + jnp.abs(c.a_w)
+                  + jnp.abs(c.a_n) + jnp.abs(c.a_s))
+    ratio = jnp.where(mask, nb_abs / safe_ap, 0.0)
+    rho = jax.lax.pmax(jax.lax.pmax(jnp.max(ratio), "x"), "y")
+    rho = jnp.minimum(rho * margin, 0.999)
+    # same fp expressions as _chebyshev_bounds (bit-parity with the
+    # single-device path under f32 rounding)
+    lmin = 1.0 - rho
+    lmax = 1.0 + rho
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+    inv_d = mask_f / safe_ap
+
+    def A(x):
+        return apply_fn(x) * mask_f
+
+    b = c.src * mask_f
+    x = x0 * mask_f
+    r = b - A(x)
+    d = (r * inv_d) / theta
+    x = x + d
+    rho_k = 1.0 / sigma1
+    for _ in range(degree - 1):
+        r = b - A(x)
+        rho_next = 1.0 / (2.0 * sigma1 - rho_k)
+        d = (rho_next * rho_k) * d + (2.0 * rho_next / delta) * (r * inv_d)
+        x = x + d
+        rho_k = rho_next
+    return jnp.where(mask, x, x0)
 
 
 def _bicgstab_mom_dist(x0, src, apply_fn, mask, own, tol, maxiter):
@@ -274,7 +329,12 @@ def _make_local_step(
             x_new = (nbsum_v(x, cvr) + cvr.src) / safe_apv
             return jnp.where(mask_v, x_new, x)
 
-        if use_krylov:
+        if use_krylov == "chebyshev":
+            u_star = _cheby_mom_dist(u, cur, lambda x: apply_u(x, cur),
+                                     mask_u, cfg.momentum_degree)
+            v_star = _cheby_mom_dist(v, cvr, lambda x: apply_v(x, cvr),
+                                     mask_v, cfg.momentum_degree)
+        elif use_krylov:
             own_su = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) < nxl
             own_sv = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) < nyl
             u_star = _bicgstab_mom_dist(
@@ -347,7 +407,8 @@ def _make_local_step(
         u_star, v_star = solve_momentum(
             u, v, cur, cvr, nbsum_u, nbsum_v, apply_u, apply_v,
             mask_u, mask_v, gi0, gj0, sweeps=cfg.momentum_sweeps,
-            use_krylov=cfg.momentum_solver == "bicgstab")
+            use_krylov=("chebyshev" if cfg.momentum_solver == "chebyshev"
+                        else cfg.momentum_solver == "bicgstab"))
         d_u, d_v = d_coeff(cur.a_p, cvr.a_p)
         u_norm, v_norm = momentum_norms(
             u_star, v_star, cu, cv, apply_u, apply_v, mask_u, mask_v)
@@ -372,7 +433,8 @@ def _make_local_step(
         u_star, v_star = solve_momentum(
             u, v, cur, cvr, nbsum_u, nbsum_v, apply_u, apply_v,
             mask_u, mask_v, gi0, gj0, sweeps=cfg.momentum_sweeps,
-            use_krylov=cfg.momentum_solver == "bicgstab")
+            use_krylov=("chebyshev" if cfg.momentum_solver == "chebyshev"
+                        else cfg.momentum_solver == "bicgstab"))
         d_u, d_v = d_coeff(cur.a_p, cvr.a_p)
         d_u_c, d_v_c = d_u / cfg.alpha_u, d_v / cfg.alpha_u
         p_prime, _ = pressure_correct(u_star, v_star, d_u_c, d_v_c, gi0, gj0)
@@ -403,7 +465,8 @@ def _make_local_step(
         u_star, v_star = solve_momentum(
             u, v, cur, cvr, nbsum_u, nbsum_v, apply_u, apply_v,
             mask_u, mask_v, gi0, gj0, sweeps=cfg.momentum_sweeps,
-            use_krylov=cfg.momentum_solver == "bicgstab")
+            use_krylov=("chebyshev" if cfg.momentum_solver == "chebyshev"
+                        else cfg.momentum_solver == "bicgstab"))
         d_u, d_v = d_coeff(cur.a_p, cvr.a_p)
         u_norm, v_norm = momentum_norms(
             u_star, v_star, cu, cv, apply_u, apply_v, mask_u, mask_v)

@@ -442,3 +442,43 @@ def test_cli_distributed_run(capsys):
     assert summary["distributed"] is True
     assert summary["converged"]
     assert summary["device_mesh"] == {"x": 2, "y": 4}
+
+
+def test_distributed_chebyshev_momentum_matches_single_device():
+    """momentum_solver='chebyshev' (halo'd applies, one pmax Gershgorin
+    bound per solve) tracks the single-device ChebyshevMomentumConfig
+    trajectory: same interval scalars, bit-compatible windowed applies."""
+    from naviflow_tpu.solvers import ChebyshevMomentumConfig
+
+    nx = ny = 32
+    mesh = nf.StructuredMesh(nx=nx, ny=ny)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=100)
+    bc = nf.lid_driven_cavity(1.0)
+    state = nf.initialize_state(mesh, bc, dtype=jnp.float64)
+
+    dmesh = make_device_mesh(8)
+    final_d, diag_d = distributed_simple_solve(
+        mesh, fluid, bc, state, dmesh,
+        DistributedConfig(max_iterations=3000, tolerance=1e-5,
+                          momentum_solver="chebyshev", momentum_degree=6,
+                          pressure_solver="cg",
+                          pressure_tol=1e-8, pressure_max_iter=4000),
+    )
+    assert diag_d["converged"], diag_d["final_residual"]
+
+    final_s, diag_s = simple_solve(
+        mesh, fluid, bc, state,
+        SIMPLEConfig(max_iterations=3000, tolerance=1e-5),
+        momentum=ChebyshevMomentumConfig(degree=6, backend="xla"),
+        pressure=CGPressureConfig(tolerance=1e-8, max_iterations=4000),
+        loop="fused",
+    )
+    assert bool(diag_s.converged)
+    du = float(jnp.max(jnp.abs(final_d.u - final_s.u)))
+    dv = float(jnp.max(jnp.abs(final_d.v - final_s.v)))
+    assert du < 3e-4 and dv < 3e-4, (du, dv)
+    # identical linear algebra on both sides -> iteration counts agree
+    # closely (the pressure inner solves differ only in reduction order)
+    assert abs(diag_d["iterations"] - diag_s.iterations) <= max(
+        2, int(diag_s.iterations * 0.05)), (diag_d["iterations"],
+                                            diag_s.iterations)
