@@ -97,14 +97,15 @@ def _cheby_launch_bytes(NI, NJ, degree=4):
     from naviflow_tpu.ops.pallas_cheby import H, _lane, _strip_rows
 
     lane_nj = _lane(NJ)
-    T = _strip_rows(NI, lane_nj)
+    R_proc = NI - 1
+    T = _strip_rows(R_proc, lane_nj)
     if not T:
         return None
     W = T + 2 * H
-    R_pad = -(-NI // T) * T
-    G = R_pad // T
+    R_grid = -(-R_proc // T) * T
+    G = R_grid // T
     read = 9 * G * W * lane_nj * _B
-    write = 2 * R_pad * lane_nj * _B
+    write = 2 * R_grid * lane_nj * _B
     once = 9 * NI * NJ * _B + write
     return read + write, once
 

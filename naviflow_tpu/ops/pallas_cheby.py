@@ -68,10 +68,16 @@ def _lane(n: int) -> int:
 
 def _strip_rows(n_rows: int, lane_nj: int) -> int:
     """Largest strip height T whose (T + 2H, lane_nj) window fits the
-    VMEM budget and tiles the padded row count; 0 if none."""
+    VMEM budget and tiles the processed row count with low waste; 0 if
+    none.  ``n_rows`` is the PROCESSED extent NI - 1 (the last row of
+    either staggered field is never solved — u: i = nx face, v: the
+    right-wall row — so the grid covers only the solvable extent; at
+    1024^2 this is the difference between 4 clean 256-row strips and 5
+    strips processing 25% padding, measured 1.91 vs expected ~1.5
+    ms/iter)."""
     for T in (256, 128, 64, 32):
-        # n_rows > T makes R_pad = ceil(n_rows/T)*T >= 2T >= T + 2H, so
-        # every window fits inside the padded array
+        # n_rows > T makes the grid extent >= 2T >= T + 2H, so every
+        # clipped window fits inside the padded array
         if (T + 2 * H) * lane_nj <= _CAP_CELLS and n_rows > T:
             return T
     return 0
@@ -87,10 +93,10 @@ def supports_cheby_strips(shape, dtype) -> bool:
     ni, nj = shape
     if ni < 384 or nj < 384:  # latency regime: whole-step kernel territory
         return False
-    return _strip_rows(ni, _lane(nj)) > 0
+    return _strip_rows(ni - 1, _lane(nj)) > 0
 
 
-def _mk_kernel(NI, NJ, R_pad, T, lane_nj, degree):
+def _mk_kernel(NI, NJ, R_arr, T, lane_nj, degree):
     from ..solvers.momentum import _chebyshev_iterate
 
     W = T + 2 * H
@@ -102,7 +108,7 @@ def _mk_kernel(NI, NJ, R_pad, T, lane_nj, degree):
         scratch = refs[14:23]
         sems = refs[23]
         g = pl.program_id(0)
-        off = jnp.clip(g * T - H, 0, R_pad - W)
+        off = jnp.clip(g * T - H, 0, R_arr - W)
         off = pl.multiple_of(off, 16)
         s0 = pl.multiple_of(g * T - off, 8)
         dmas = []
@@ -153,13 +159,21 @@ def chebyshev_momentum_strips(x0, c_rel, c_un, *, theta, delta, sigma1,
     """
     NI, NJ = x0.shape
     lane_nj = _lane(NJ)
-    T = _strip_rows(NI, lane_nj)
+    # the grid covers only the SOLVABLE extent NI - 1 (mask hi_i = 1: the
+    # last row of either staggered field is boundary-held), killing the
+    # row-padding waste at odd extents (u is (nx+1, ny)); the untouched
+    # last row is re-appended from x0 below
+    R_proc = NI - 1
+    T = _strip_rows(R_proc, lane_nj)
     W = T + 2 * H
-    R_pad = -(-NI // T) * T  # >= 2T >= W by the _strip_rows gate
+    R_grid = -(-R_proc // T) * T  # >= 2T >= W by the _strip_rows gate
+    # input arrays must still carry ALL NI real rows (row NI-1 is a live
+    # neighbor of row NI-2), 16-row aligned for the clipped window DMAs
+    R_arr = max(R_grid, -(-NI // 16) * 16)
     dt = x0.dtype
 
     def prep(a):
-        return jnp.pad(a, ((0, R_pad - NI), (0, lane_nj - NJ)))
+        return jnp.pad(a, ((0, R_arr - NI), (0, lane_nj - NJ)))
 
     inputs = [prep(x0),
               prep(c_rel.a_e), prep(c_rel.a_w), prep(c_rel.a_n),
@@ -172,9 +186,9 @@ def chebyshev_momentum_strips(x0, c_rel, c_un, *, theta, delta, sigma1,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     x_p, r_p = pl.pallas_call(
-        _mk_kernel(NI, NJ, R_pad, T, lane_nj, degree),
-        grid=(R_pad // T,),
-        out_shape=[jax.ShapeDtypeStruct((R_pad, lane_nj), dt)] * 2,
+        _mk_kernel(NI, NJ, R_arr, T, lane_nj, degree),
+        grid=(R_grid // T,),
+        out_shape=[jax.ShapeDtypeStruct((R_grid, lane_nj), dt)] * 2,
         in_specs=[any_spec] * 9 + [vmem] * 3,
         out_specs=[pl.BlockSpec((T, lane_nj), lambda g: (g, 0))] * 2,
         scratch_shapes=[pltpu.VMEM((W, lane_nj), dt) for _ in range(9)]
@@ -182,4 +196,8 @@ def chebyshev_momentum_strips(x0, c_rel, c_un, *, theta, delta, sigma1,
         compiler_params=kernel_params(),
         interpret=interpret,
     )(*inputs)
-    return x_p[:NI, :NJ], r_p[:NI, :NJ]
+    # boundary-held tail rows (>= R_proc): never solved, residual-masked
+    x_star = jnp.concatenate([x_p[:R_proc, :NJ], x0[R_proc:]], axis=0)
+    r_m = jnp.concatenate(
+        [r_p[:R_proc, :NJ], jnp.zeros((NI - R_proc, NJ), dt)], axis=0)
+    return x_star, r_m
