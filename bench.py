@@ -370,11 +370,10 @@ def _bench_large_grid(nx, re, n_iters=30):
     # remaining coefficient streaming.  BENCH_MOM=bicgstab restores the
     # round-4 configuration (inner budget 5 — see MOMENTUM_BUDGET.jsonl).
     mom_kind = os.environ.get("BENCH_MOM", "cheby")
-    # degree 6: measured at 2048^2 (MOMENTUM_BUDGET.jsonl 2026-08-19)
-    # +0.14 ms/iter over degree 4 through the strip kernel while the
-    # 40-step fixed residual (1.3246e-3) beats even the round-4
-    # BiCGSTAB(5) default (1.3321e-3)
-    mom = (ChebyshevMomentumConfig(degree=6) if mom_kind == "cheby"
+    # degree 4: the measured throughput sweet spot (MOMENTUM_BUDGET.jsonl
+    # 2026-08-19; degree 6 costs +0.1-0.14 ms/iter for a ~1% tighter
+    # 40-step residual — available via ChebyshevMomentumConfig(degree=6))
+    mom = (ChebyshevMomentumConfig(degree=4) if mom_kind == "cheby"
            else KrylovMomentumConfig(tolerance=1e-6, max_iterations=5))
     pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                            check_every=2, coarsest_sweeps=32,

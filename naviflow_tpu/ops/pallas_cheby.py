@@ -91,7 +91,11 @@ def supports_cheby_strips(shape, dtype) -> bool:
     if jax.default_backend() != "tpu":
         return False
     ni, nj = shape
-    if ni < 384 or nj < 384:  # latency regime: whole-step kernel territory
+    # Measured crossover (MOMENTUM_BUDGET.jsonl 2026-08-19): at 1024^2
+    # the whole-array XLA composition wins (1.67 vs 1.78 ms/iter — the
+    # kernel's launch + DMA-issue overhead exceeds its traffic saving),
+    # at 2048^2 the strips win 8.15 vs 10.41.  Gate to the >= 2048 regime.
+    if ni < 1536 or nj < 1536:
         return False
     return _strip_rows(ni - 1, _lane(nj)) > 0
 
