@@ -58,20 +58,24 @@ if HAVE_PALLAS:
 
 # see supports_fused_step: the whole-step kernel gets a higher budget than
 # the shared 8 MB because its 255^2 instantiation is measured to fit.
-# The budget is PER ALGORITHM, measured on hardware: SIMPLE at 255^2
-# compiles and is numerics-certified per round (bench.py), but SIMPLEC at
-# 255^2 OOMs Mosaic's 16 MB scoped-VMEM kernel stack by 435 KB
+# The budget is PER ALGORITHM, measured on hardware.  History: SIMPLEC at
+# 255^2 OOM'd Mosaic's DEFAULT 16 MB scoped-VMEM kernel stack by 435 KB
 # ("Ran out of memory in memory space vmem ... 16.42M, limit 16.00M",
-# TPU v5e, round 4) — interpret-mode parity tests structurally cannot
-# catch this, so the variants' budgets are set to exclude 255^2 (their
-# estimated totals there are ~11-12.7 MB) and keep 127^2 (~2.7-3.2 MB),
-# falling back to the XLA step above.
+# TPU v5e, round 4), so round 4 excluded the variants from 255^2.  The
+# same round then raised the per-kernel limit to 64 MiB
+# (pallas_mg.kernel_params); the round-5 re-probe under that ceiling
+# (benchmarks/step_vmem_probe.py, CYCLE_TIMING.jsonl kind=vmem-probe,
+# 2026-08-19) measured
+# all three variants COMPILING and WINNING at 255^2 — simplec 0.763 vs
+# 0.946 ms/iter XLA, piso 0.970 vs 1.341, simpler 1.182 vs 1.709, with
+# 40-step residual rel-diffs <= 2.7e-5 — so every algorithm now carries
+# the measured-to-fit 14 MiB budget (est_mib <= 13.95 at 255^2).
 STEP_VMEM_BUDGET_BYTES = 12 * 2**20
 _ALGO_VMEM_BUDGETS = {
     "simple": STEP_VMEM_BUDGET_BYTES,
-    "simplec": 8 * 2**20,
-    "piso": 8 * 2**20,
-    "simpler": 8 * 2**20,
+    "simplec": 14 * 2**20,
+    "piso": 14 * 2**20,
+    "simpler": 14 * 2**20,
 }
 
 # Estimated live fine-shape field temporaries per algorithm (u/v/p, two
