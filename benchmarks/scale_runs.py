@@ -312,6 +312,116 @@ def run_newton_up(re_target=10000.0, scheme="quick", nx_fine=1023,
     return final
 
 
+def run_newton_chain(re_target=10000.0, scheme="quick", nx=511,
+                     nx_fine=1023):
+    """Branch-tracking Newton continuation in Re (round-5 diagnosis of
+    the Re=10000 26% plateau).
+
+    The sequence-up pipeline (run_newton_up) warm-starts from a SIMPLE
+    stall AT the target Re; at Re=10000 that stall orbits a state whose
+    Newton limit sits 26% off the Ghia table at BOTH 511^2 and 1023^2 —
+    i.e. the landing point is grid-converged but on the wrong steady
+    solution (published steady solutions, e.g. Erturk et al. 2005, agree
+    with Ghia at Re=10000).  This runner instead tracks the KNOWN-GOOD
+    branch: Newton-converge Re=7500 (Ghia 9.1%, under the gate), then
+    re-Newton at each higher Re from the previous CONVERGED state — each
+    step starts inside the true branch's basin instead of wherever the
+    fixed-point dynamics stalled.  Per-stage Ghia errors (with u/v
+    centerline breakdown) land in SCALE_RUNS.jsonl; converged states are
+    saved under benchmarks/states/ for profile diagnostics."""
+    (nf, SIMPLEConfig, _, _, simple_solve,
+     KrylovMomentumConfig, MultigridConfig, inf_err) = _common()
+    import numpy as np
+
+    from naviflow_tpu.algorithms import NewtonConfig, newton_solve
+    from naviflow_tpu.algorithms.sequencing import prolong_state
+    from naviflow_tpu.postprocessing.validation import _interp_to_benchmark
+
+    sdir = os.path.join(os.path.dirname(__file__), "states")
+    os.makedirs(sdir, exist_ok=True)
+
+    def save(state, tag):
+        np.savez(os.path.join(sdir, f"newton_chain_{tag}.npz"),
+                 u=np.asarray(state.u), v=np.asarray(state.v),
+                 p=np.asarray(state.p))
+
+    def ghia_row(state, mesh, re):
+        du, dv, _ = _interp_to_benchmark(state.u, state.v, mesh, re)
+        return dict(ghia_infinity_error=round(float(
+            max(np.max(np.abs(du)), np.max(np.abs(dv)))), 5),
+            ghia_max_du=round(float(np.max(np.abs(du))), 5),
+            ghia_max_dv=round(float(np.max(np.abs(dv))), 5))
+
+    mesh = nf.StructuredMesh(nx=nx, ny=nx)
+    bc = nf.lid_driven_cavity(1.0)
+    state = run_newton_511(7500.0, scheme=scheme, nx=nx)
+    save(state, f"re7500_{nx}")
+
+    schedule = [r for r in (8500.0, 9200.0, re_target) if r <= re_target]
+    if schedule[-1] != re_target:
+        schedule.append(re_target)
+    ncfg = NewtonConfig(tolerance=1e-5, scheme=scheme, max_newton=40,
+                        gmres_tol=1e-2, gmres_restart=60, gmres_maxiter=240)
+    pres_n = MultigridConfig(tolerance=1e-3, max_cycles=12, check_every=4,
+                             coarsest_sweeps=48)
+    for re in schedule:
+        fluid = nf.FluidProperties(density=1.0, reynolds_number=re)
+        t0 = time.perf_counter()
+        state, ndiag = newton_solve(mesh, fluid, bc, state, ncfg,
+                                    pressure=pres_n, verbose=True)
+        _emit(dict(run=f"newton-chain-re{int(re)}-{nx}-{scheme}", nx=nx,
+                   re=re, scheme=scheme,
+                   newton_wall_seconds=round(time.perf_counter() - t0, 1),
+                   newton_iterations=ndiag.iterations,
+                   gmres_iterations=ndiag.gmres_iterations,
+                   converged=bool(ndiag.converged),
+                   final_residual=float(ndiag.final_residual),
+                   **ghia_row(state, mesh, re)))
+        save(state, f"re{int(re)}_{nx}")
+        if not ndiag.converged:
+            return state
+
+    # fine level: prolong the chain's target-Re state, short smoothing
+    # pass only (prolongation artifacts are high-frequency; a LONG smooth
+    # at an unstable Re risks drifting off-branch), chunked PTC-Newton
+    mesh_f = nf.StructuredMesh(nx=nx_fine, ny=nx_fine)
+    fluid = nf.FluidProperties(density=1.0, reynolds_number=re_target)
+    fine = prolong_state(state, mesh_f, bc)
+    smooth_iters = int(os.environ.get("NEWTON_CHAIN_SMOOTH", 150))
+    if smooth_iters:
+        mom = KrylovMomentumConfig(tolerance=1e-6, max_iterations=30,
+                                   scheme=scheme)
+        pres = MultigridConfig(tolerance=1e-2, max_cycles=10,
+                               cycle_type="v", check_every=2,
+                               coarsest_sweeps=48)
+        fine, diag0 = simple_solve(
+            mesh_f, fluid, bc, fine,
+            SIMPLEConfig(max_iterations=smooth_iters, tolerance=1e-6,
+                         alpha_p=0.1, alpha_u=0.6),
+            momentum=mom, pressure=pres, loop="chunked:75")
+        print(json.dumps({"phase": "fine-smooth", "nx": nx_fine,
+                          "residual": float(diag0.final_residual)}),
+              flush=True)
+    t1 = time.perf_counter()
+    fine, ndiag = newton_solve(
+        mesh_f, fluid, bc, fine,
+        NewtonConfig(tolerance=1e-5, scheme=scheme, max_newton=30,
+                     gmres_tol=1e-2, gmres_restart=60, gmres_maxiter=240,
+                     gmres_chunk=1),
+        pressure=pres_n, verbose=True)
+    row = ghia_row(fine, mesh_f, re_target)
+    _emit(dict(run=f"newton-chain-re{int(re_target)}-{nx_fine}-{scheme}",
+               nx=nx_fine, re=re_target, scheme=scheme, tolerance=1e-5,
+               newton_wall_seconds=round(time.perf_counter() - t1, 1),
+               newton_iterations=ndiag.iterations,
+               gmres_iterations=ndiag.gmres_iterations,
+               converged=bool(ndiag.converged),
+               final_residual=float(ndiag.final_residual),
+               ghia_passed=bool(row["ghia_infinity_error"] < 0.1), **row))
+    save(fine, f"re{int(re_target)}_{nx_fine}")
+    return fine
+
+
 def run_config4_257():
     """BASELINE config 4 on the TPU itself: 257^2 Re=1000 to 1e-7 in f32.
 
@@ -391,6 +501,10 @@ if __name__ == "__main__":
     elif which.startswith("luds-re"):
         parts = which.split("-")
         run_highre_511(float(parts[1][2:]), scheme="luds")
+    elif which.startswith("newton-chain"):
+        # newton-chain-re10000-quick (511^2 branch tracking + 1023^2 up)
+        parts = which.split("-")
+        run_newton_chain(float(parts[2][2:]), scheme=parts[3])
     elif which.startswith("newton-re"):
         # newton-re7500-511-quick, newton-re10000-511-quick, ...
         # newton-re10000-1023-quick routes through the sequence-up
