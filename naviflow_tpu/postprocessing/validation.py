@@ -71,15 +71,32 @@ GHIA_V = {
     3200: [0.00000, -0.39017, -0.47425, -0.52357, -0.54053, -0.44307, -0.37401,
            -0.31184, 0.00999, 0.28188, 0.29030, 0.37119, 0.42768, 0.41906,
            0.40917, 0.39560, 0.00000],
-    5000: [0.00000, -0.41165, -0.52876, -0.55408, -0.55069, -0.41442, -0.36214,
-           -0.30018, 0.00945, 0.27280, 0.28066, 0.35368, 0.41824, 0.43564,
-           0.43154, 0.42735, 0.00000],
-    7500: [0.00000, -0.43154, -0.55216, -0.59756, -0.55460, -0.41824, -0.36435,
-           -0.30448, 0.00824, 0.29598, 0.30448, 0.36089, 0.41349, 0.43453,
-           0.43759, 0.43736, 0.00000],
-    10000: [0.00000, -0.42735, -0.57492, -0.65928, -0.68439, -0.43025, -0.37582,
-            -0.31966, 0.00831, 0.30719, 0.31586, 0.37401, 0.42160, 0.44265,
-            0.44407, 0.43979, 0.00000],
+    # The reference's v-rows for Re >= 5000 (cavity_flow.py:100-118) are
+    # corrupted transcriptions, proven by internal evidence: each row's
+    # first interior entry EQUALS the same-Re u-table entry to all five
+    # digits (v[5000][1] = u[5000][1] = -0.41165, v[7500][1] = u[7500][1]
+    # = -0.43154, v[10000][1] = u[10000][1] = -0.42735 — a copy slip; the
+    # clean Re <= 3200 rows share no digits with their u-rows), the
+    # Re=5000 entries 2-4 are the published values in REVERSED order, its
+    # tail carries u-values from OTHER Re rows (0.43154 = u7500[1],
+    # 0.42735 = u10000[1]), and Re=10000's -0.65928/-0.68439 exceed every
+    # published v-extremum in the table family.  The rows below are the
+    # published Ghia, Ghia & Shin (1982) Table II columns; empirical
+    # cross-check (benchmarks/states/, round 5): independently converged
+    # Newton solutions at 511^2 AND 1023^2 land on these values (1023^2
+    # Re=10000 near-wall peak -0.54678 vs the published -0.54302, and
+    # both centerlines then agree with the table uniformly to ~4% — vs
+    # 23-26% "error" against the corrupted rows, concentrated entirely
+    # in v).  Same class of fix as the Re=3200 u-typo above.
+    5000: [0.00000, -0.49774, -0.55069, -0.55408, -0.52876, -0.41442, -0.36214,
+           -0.30018, 0.00945, 0.27280, 0.28066, 0.35368, 0.42951, 0.43648,
+           0.43329, 0.42447, 0.00000],
+    7500: [0.00000, -0.53858, -0.55216, -0.52347, -0.48590, -0.41050, -0.36213,
+           -0.30448, 0.00824, 0.27348, 0.28117, 0.35060, 0.41824, 0.43564,
+           0.44030, 0.43979, 0.00000],
+    10000: [0.00000, -0.54302, -0.52987, -0.49099, -0.45863, -0.41496, -0.36737,
+            -0.30719, 0.00831, 0.27224, 0.28003, 0.35070, 0.41487, 0.43124,
+            0.43733, 0.43983, 0.00000],
 }
 
 AVAILABLE_REYNOLDS = sorted(GHIA_U)
