@@ -375,9 +375,21 @@ def _bench_large_grid(nx, re, n_iters=30):
     # 40-step residual — available via ChebyshevMomentumConfig(degree=6))
     mom = (ChebyshevMomentumConfig(degree=4) if mom_kind == "cheby"
            else KrylovMomentumConfig(tolerance=1e-6, max_iterations=5))
-    pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
-                           check_every=2, coarsest_sweeps=32,
-                           coarse_rebuild_every=8)
+    # Cycle budget by size (benchmarks/cycle_budget_probe.py, 300-fixed-step
+    # residual identical to 7 digits, CYCLE_TIMING kind=cycle-budget):
+    # at 1024^2 check_every=1 + 1/1 smoothing wins 1.462 vs 1.871 ms/iter
+    # (ce2 overshoots a wasted cycle; lighter sweeps amortize), while at
+    # 2048^2 the SAME candidate loses 8.112 vs 7.461 — the bandwidth-bound
+    # regime prefers fewer, heavier cycles.  Gate at 2048.
+    if nx < 2048:
+        pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
+                               check_every=1, pre_smoothing=1,
+                               post_smoothing=1, coarsest_sweeps=32,
+                               coarse_rebuild_every=8)
+    else:
+        pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
+                               check_every=2, coarsest_sweeps=32,
+                               coarse_rebuild_every=8)
 
     def timed_block(n):
         cfg = SIMPLEConfig(max_iterations=n, tolerance=0.0)

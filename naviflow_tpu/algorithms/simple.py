@@ -59,6 +59,10 @@ class SIMPLEConfig:
     # locks the outer iteration into a boundary limit cycle (residual floor
     # ~5e-3).  Off by default; enable only for reference-parity runs.
     overwrite_boundary_pressure: bool = False
+    # 'auto': fold the d-coefficients + pressure-correction operator into
+    # the strip-fused assembly kernel where it runs (large TPU grids);
+    # 'off' rebuilds them in XLA (paired-measurement / parity escape hatch)
+    fold_poisson: str = "auto"
 
 
 def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
@@ -119,16 +123,21 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
 
         p_star = p
         # pair form: on large TPU grids the two fields' coefficient
-        # assemblies fuse into one strip-blocked pass (pallas_assembly)
+        # assemblies fuse into one strip-blocked pass (pallas_assembly),
+        # which also folds the d-coefficients + pressure-correction
+        # operator (pc is None where the fused assembly did not run)
+        fold = getattr(cfg, "fold_poisson", "auto") == "auto"
         ((u_star, d_u, r_u, u_norm),
-         (v_star, d_v, r_v, v_norm)) = solve_momentum_pair(
+         (v_star, d_v, r_v, v_norm), pc) = solve_momentum_pair(
             u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
             alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg,
-        )
+            poisson_variant=(cfg.poisson_variant if fold else None),
+        ) + (() if fold else (None,))
 
         b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
-        pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
-                                  variant=cfg.poisson_variant)
+        if pc is None:
+            pc = poisson_coefficients(d_u, d_v, dx=dx, dy=dy, rho=rho,
+                                      variant=cfg.poisson_variant)
         if lagged:
             coarse = (lg.rebuild(d_u, d_v) if coarse_mode == "rebuild"
                       else mg_extra[1])

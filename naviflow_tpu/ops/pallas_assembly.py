@@ -90,15 +90,16 @@ def supports_fused_assembly(nx, ny, scheme, dtype, backend) -> bool:
     return _strip_rows_assembly(nx, ny) > 0
 
 
-def _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha):
+def _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha, poisson_variant=None):
     from ..ops.powerlaw import relax_coefficients
     from ..ops.windowed import u_coefficients_window, v_coefficients_window
 
     W = T + 2 * PAD
+    n_out = 18 if poisson_variant is None else 25
 
     def kernel(ue_h, ve_h, pe_h, u_h, v_h, *refs):
-        outs = refs[:16]
-        uew, vew, pew, ufw, vfw, sems = refs[16:]
+        outs = refs[:n_out]
+        uew, vew, pew, ufw, vfw, sems = refs[n_out:]
         g = pl.program_id(0)
         off = pl.multiple_of(g * T, 16)
         dmas = []
@@ -122,11 +123,12 @@ def _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha):
         u_ext = uew[PAD: PAD + T + 3, : ny + 2]
         v_ext = vew[PAD: PAD + T + 2, : ny + 3]
         p_ext = pew[PAD: PAD + T + 2, : ny + 2]
-        cu = u_coefficients_window(
+        cu_w = u_coefficients_window(
             u_ext, v_ext, p_ext, gi0=off, gj0=0, nx=nx, ny=ny,
             dx=dx, dy=dy, rho=rho, mu=mu)
-        # drop the duplicated trailing face row (next strip's first face)
-        cu = jax.tree_util.tree_map(lambda a: a[:T], cu)
+        # drop the duplicated trailing face row (next strip's first face;
+        # kept in cu_w for the folded d_u/a_e build below)
+        cu = jax.tree_util.tree_map(lambda a: a[:T], cu_w)
         cur = relax_coefficients(cu, ufw[:, :ny], alpha)
 
         cv = v_coefficients_window(
@@ -134,10 +136,82 @@ def _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha):
             dx=dx, dy=dy, rho=rho, mu=mu)
         cv_r = relax_coefficients(cv, vfw[:, : ny + 1], alpha)
 
+        # Gershgorin-ratio partial max of the two RELAXED systems, masked
+        # to each field's solve mask (solvers/momentum._chebyshev_bounds
+        # semantics) — folding the max here, while the coefficients are
+        # VMEM-resident, kills two five-array HBM reads plus two global
+        # reduction barriers per outer iteration on the Chebyshev-momentum
+        # path (round-5 step-part attribution: the 1024^2 step is
+        # latency-bound; see ROADMAP item 6).  max is an exact reduction,
+        # so the folded bound is bit-identical to the XLA one up to the
+        # elementwise FMA contraction of the ratio itself.
+        def _ratio_max(c_un_s, ap_rel, lo_i, hi_i, lo_j, hi_j, ncol):
+            ii = jax.lax.broadcasted_iota(jnp.int32, (T, ncol), 0) + off
+            jj = jax.lax.broadcasted_iota(jnp.int32, (T, ncol), 1)
+            m = ((ii >= lo_i) & (ii <= hi_i) & (jj >= lo_j) & (jj <= hi_j))
+            safe = jnp.where(ap_rel == 0, jnp.ones_like(ap_rel), ap_rel)
+            nb = (jnp.abs(c_un_s.a_e) + jnp.abs(c_un_s.a_w)
+                  + jnp.abs(c_un_s.a_n) + jnp.abs(c_un_s.a_s))
+            return jnp.max(jnp.where(m, nb / safe, 0.0))
+
+        gmax_u = _ratio_max(cu, cur.a_p, 1, nx - 1, 1, ny - 2, ny)
+        gmax_v = _ratio_max(cv, cv_r.a_p, 1, nx - 2, 1, ny - 1, ny + 1)
+
         vals = (cu.a_e, cu.a_w, cu.a_n, cu.a_s, cu.a_p, cu.src,
                 cur.a_p, cur.src,
                 cv.a_e, cv.a_w, cv.a_n, cv.a_s, cv.a_p, cv.src,
-                cv_r.a_p, cv_r.src)
+                cv_r.a_p, cv_r.src,
+                jnp.full((8, 128), gmax_u, cu.a_p.dtype),
+                jnp.full((8, 128), gmax_v, cu.a_p.dtype))
+
+        if poisson_variant is not None:
+            # d-coefficients + pressure-correction operator, folded while
+            # the relaxed diagonals are VMEM-resident (ROADMAP #6 step-glue
+            # item).  d semantics: ops/powerlaw.d_coefficient (zero on the
+            # unsolved boundary rows/cols); pc semantics:
+            # ops/poisson.poisson_coefficients — every boundary zero of pc
+            # falls out of d's own masking (d_u[0]=d_u[nx]=0 covers the
+            # a_w/a_e pads, d_v cols 0/ny the a_s/a_n pads), so the folded
+            # arrays are bit-identical to the XLA build up to FMA
+            # contraction.  The u-face window carries the duplicated row
+            # gT+T, giving a_e its d_u[i+1] read without cross-strip halo.
+            ap_u = cu_w.a_p  # uncropped: rows gT .. gT+T (T+1 rows)
+            ap_u_rel = jnp.where(jnp.abs(ap_u) > 1e-12, ap_u, 1e-12) / alpha
+            ii_u = (jax.lax.broadcasted_iota(jnp.int32, (T + 1, ny), 0)
+                    + off)
+            d_u = jnp.where((ii_u >= 1) & (ii_u <= nx - 1), dy / ap_u_rel,
+                            0.0)
+            ap_v_rel = cv_r.a_p
+            jj_v = jax.lax.broadcasted_iota(jnp.int32, (T, ny + 1), 1)
+            d_v = jnp.where((jj_v >= 1) & (jj_v <= ny - 1), dx / ap_v_rel,
+                            0.0)
+            d_u_m, d_v_m = d_u, d_v
+            if poisson_variant == "consistent":
+                jj_u = jax.lax.broadcasted_iota(jnp.int32, (T + 1, ny), 1)
+                d_u_m = jnp.where((jj_u >= 1) & (jj_u <= ny - 2), d_u, 0.0)
+                ii_v = (jax.lax.broadcasted_iota(jnp.int32, (T, ny + 1), 0)
+                        + off)
+                d_v_m = jnp.where((ii_v >= 1) & (ii_v <= nx - 2), d_v, 0.0)
+            a_e = rho * dy * d_u_m[1: T + 1, :]
+            a_w = rho * dy * d_u_m[:T, :]
+            a_n = rho * dx * d_v_m[:, 1: ny + 1]
+            a_s = rho * dx * d_v_m[:, :ny]
+            diag = jnp.zeros((T, ny), a_e.dtype)
+            if poisson_variant == "reference":
+                ii_p = (jax.lax.broadcasted_iota(jnp.int32, (T, ny), 0)
+                        + off)
+                jj_p = jax.lax.broadcasted_iota(jnp.int32, (T, ny), 1)
+                diag = (jnp.where(ii_p == 0, a_e, diag)
+                        + jnp.where(ii_p == nx - 1, a_w, 0.0)
+                        + jnp.where(jj_p == 0, a_n, 0.0)
+                        + jnp.where(jj_p == ny - 1, a_s, 0.0))
+                a_e = jnp.where(ii_p == 0, 0.0, a_e)
+                a_w = jnp.where(ii_p == nx - 1, 0.0, a_w)
+                a_n = jnp.where(jj_p == 0, 0.0, a_n)
+                a_s = jnp.where(jj_p == ny - 1, 0.0, a_s)
+            diag = diag + a_e + a_w + a_n + a_s
+            vals = vals + (d_u[:T], d_v, a_e, a_w, a_n, a_s, diag)
+
         for o, val in zip(outs, vals):
             o[:] = val
 
@@ -145,11 +219,26 @@ def _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha):
 
 
 def fused_assembly_pair(u, v, p, *, dx, dy, rho, mu, alpha,
-                        interpret: bool = False):
+                        interpret: bool = False, with_bounds: bool = False,
+                        poisson_variant: str | None = None):
     """Both momentum fields' (unrelaxed, relaxed) coefficient sets in one
     strip-fused pass over u, v, p.  Returns ``(cu_un, cu_rel, cv_un,
     cv_rel)`` equal to ``u_momentum_coefficients`` / ``relax_coefficients``
-    (and the v counterparts) up to FMA contraction."""
+    (and the v counterparts) up to FMA contraction.
+
+    ``with_bounds=True`` appends ``(rho_u, rho_v)``: the masked Gershgorin
+    ratio maxima ``max |a_nb|/a_p`` of the two RELAXED systems (the raw
+    input of ``solvers/momentum._bounds_from_rho``), folded into the
+    kernel so the Chebyshev momentum path skips its per-field five-array
+    read + global max barrier.  The same compiled kernel serves both
+    flags (the two (8,128) bound tiles are always emitted; discarding
+    them is free).
+
+    ``poisson_variant``: when set ('consistent'/'symmetric'/'reference'),
+    additionally fold the momentum d-coefficients and the 5-point
+    pressure-correction operator (``ops/poisson.poisson_coefficients``)
+    into the same pass, returning ``(..., d_u, d_v, pc)`` — the step-glue
+    arrays the SIMPLE/SIMPLER/PISO bodies otherwise rebuild from HBM."""
     nxp1, ny = u.shape
     nx = nxp1 - 1
     T = _strip_rows_assembly(nx, ny)
@@ -166,13 +255,26 @@ def fused_assembly_pair(u, v, p, *, dx, dy, rho, mu, alpha,
     v_f = jnp.pad(v, ((0, 0), (0, lane(ny + 1) - ny - 1)))
     dt = u.dtype
 
+    n_strips = nx // T
     out_shapes = ([jax.ShapeDtypeStruct((nx, ny), dt)] * 8
-                  + [jax.ShapeDtypeStruct((nx, ny + 1), dt)] * 8)
+                  + [jax.ShapeDtypeStruct((nx, ny + 1), dt)] * 8
+                  + [jax.ShapeDtypeStruct((8 * n_strips, 128), dt)] * 2)
     out_specs = ([pl.BlockSpec((T, ny), lambda g: (g, 0))] * 8
-                 + [pl.BlockSpec((T, ny + 1), lambda g: (g, 0))] * 8)
+                 + [pl.BlockSpec((T, ny + 1), lambda g: (g, 0))] * 8
+                 + [pl.BlockSpec((8, 128), lambda g: (g, 0))] * 2)
+    if poisson_variant is not None:
+        # d_u (nx, ny: the zero face row nx is appended in XLA), d_v,
+        # then the five pc arrays
+        out_shapes += ([jax.ShapeDtypeStruct((nx, ny), dt),
+                        jax.ShapeDtypeStruct((nx, ny + 1), dt)]
+                       + [jax.ShapeDtypeStruct((nx, ny), dt)] * 5)
+        out_specs += ([pl.BlockSpec((T, ny), lambda g: (g, 0)),
+                       pl.BlockSpec((T, ny + 1), lambda g: (g, 0))]
+                      + [pl.BlockSpec((T, ny), lambda g: (g, 0))] * 5)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
-        _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha),
+        _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha,
+                   poisson_variant=poisson_variant),
         grid=(nx // T,),
         out_shape=out_shapes,
         in_specs=[any_spec] * 5,
@@ -193,7 +295,8 @@ def fused_assembly_pair(u, v, p, *, dx, dy, rho, mu, alpha,
     ap_last = jnp.full((1, ny), 1e-12 / alpha, dt)
     src_last = (1.0 - alpha) * ap_last * u[nx:nx + 1]
     (ue, uw_, un, us, upn, usrc, upr, usrcr,
-     ve, vw_, vn, vs, vpn, vsrc, vpr, vsrcr) = outs
+     ve, vw_, vn, vs, vpn, vsrc, vpr, vsrcr, gu, gv), rest = (
+        outs[:18], outs[18:])
     cat = lambda a, last: jnp.concatenate([a, last], 0)
     cu_un = StencilCoeffs(a_e=cat(ue, zrow), a_w=cat(uw_, zrow),
                           a_n=cat(un, zrow), a_s=cat(us, zrow),
@@ -205,4 +308,17 @@ def fused_assembly_pair(u, v, p, *, dx, dy, rho, mu, alpha,
                           src=vsrc)
     cv_rel = StencilCoeffs(a_e=ve, a_w=vw_, a_n=vn, a_s=vs, a_p=vpr,
                            src=vsrcr)
-    return cu_un, cu_rel, cv_un, cv_rel
+    out = (cu_un, cu_rel, cv_un, cv_rel)
+    if with_bounds:
+        # the appended u face row (a_p floor, zero links) is outside the
+        # solve mask, so the strip maxima already cover the full arrays
+        out = out + (jnp.max(gu), jnp.max(gv))
+    if poisson_variant is not None:
+        from .poisson import PoissonCoeffs
+
+        du_s, dv, pe, pw, pn, ps, pdiag = rest
+        # the face row I = nx is never solved: d_coefficient zeroes it
+        d_u = jnp.concatenate([du_s, jnp.zeros((1, ny), dt)], 0)
+        pc = PoissonCoeffs(a_e=pe, a_w=pw, a_n=pn, a_s=ps, diag=pdiag)
+        out = out + (d_u, dv, pc)
+    return out

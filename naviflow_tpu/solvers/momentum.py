@@ -131,6 +131,11 @@ class ChebyshevMomentumConfig:
     # (ops/pallas_cheby.py) on large TPU grids; 'xla' forces the composed
     # whole-array iteration (parity escape hatch)
     backend: str = "auto"
+    # 'auto': take the Gershgorin ratio max from the fused assembly
+    # kernel's folded partial maxima when that kernel runs (saves two
+    # five-array HBM reads + two reduction barriers per outer iteration);
+    # 'off' recomputes the bounds in XLA (parity escape hatch)
+    assembly_bounds: str = "auto"
     kind: str = "chebyshev"
 
 
@@ -241,6 +246,19 @@ def _rbgs_sweeps(x0, c, mask, n_sweeps: int, omega: float):
     return jax.lax.fori_loop(0, n_sweeps, body, x0)
 
 
+def _bounds_from_rho(rho_raw, margin: float):
+    """Chebyshev interval scalars from the raw masked Gershgorin ratio
+    maximum (shared by :func:`_chebyshev_bounds` and the in-assembly
+    folded maxima of ``ops/pallas_assembly.fused_assembly_pair``)."""
+    rho = jnp.minimum(rho_raw * margin, 0.999)
+    lmin = 1.0 - rho
+    lmax = 1.0 + rho
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+    return theta, delta, sigma1
+
+
 def _chebyshev_bounds(c, mask, margin: float = 1.05):
     """Spectral interval for ``D^-1 A`` from Gershgorin: every disk is
     centered at 1 with radius ``sum(a_nb)/a_p`` (power-law neighbor
@@ -256,13 +274,7 @@ def _chebyshev_bounds(c, mask, margin: float = 1.05):
         nb_abs = (jnp.abs(c.a_e) + jnp.abs(c.a_w)
                   + jnp.abs(c.a_n) + jnp.abs(c.a_s))
     ratio = jnp.where(mask, nb_abs / safe_ap, 0.0)
-    rho = jnp.minimum(jnp.max(ratio) * margin, 0.999)
-    lmin = 1.0 - rho
-    lmax = 1.0 + rho
-    theta = (lmax + lmin) / 2.0
-    delta = (lmax - lmin) / 2.0
-    sigma1 = theta / delta
-    return theta, delta, sigma1
+    return _bounds_from_rho(jnp.max(ratio), margin)
 
 
 def _chebyshev_iterate(x0, c, mask, theta, delta, sigma1, degree: int):
@@ -294,10 +306,15 @@ def _chebyshev_iterate(x0, c, mask, theta, delta, sigma1, degree: int):
     return jnp.where(mask, x, x0)
 
 
-def _chebyshev_masked(x0, c, mask, degree: int, margin: float = 1.05):
+def _chebyshev_masked(x0, c, mask, degree: int, margin: float = 1.05,
+                      bounds=None):
     """Fixed-degree Chebyshev iteration on the masked momentum system,
-    preconditioned by the diagonal (see :class:`ChebyshevMomentumConfig`)."""
-    theta, delta, sigma1 = _chebyshev_bounds(c, mask, margin)
+    preconditioned by the diagonal (see :class:`ChebyshevMomentumConfig`).
+    ``bounds``: optional precomputed ``(theta, delta, sigma1)`` (the
+    in-assembly Gershgorin fold) — skips the five-array read + max."""
+    if bounds is None:
+        bounds = _chebyshev_bounds(c, mask, margin)
+    theta, delta, sigma1 = bounds
     return _chebyshev_iterate(x0, c, mask, theta, delta, sigma1, degree)
 
 
@@ -562,14 +579,14 @@ def _idrs_masked(x0, c, mask, tol: float, max_outer: int, s: int, angle: float):
     return jnp.where(mask, x, x0)
 
 
-def _inner_solve(x0, c_rel, mask, cfg):
+def _inner_solve(x0, c_rel, mask, cfg, bounds=None):
     if cfg.kind == "jacobi":
         return _jacobi_sweeps(x0, c_rel, mask, cfg.n_sweeps)
     if cfg.kind == "rbgs":
         return _rbgs_sweeps(x0, c_rel, mask, cfg.n_sweeps, cfg.omega)
     if cfg.kind == "chebyshev":
         return _chebyshev_masked(x0, c_rel, mask, cfg.degree,
-                                 cfg.bound_margin)
+                                 cfg.bound_margin, bounds=bounds)
     if cfg.kind == "bicgstab":
         if (getattr(cfg, "backend", "auto") in ("auto", "pallas")
                 and not isinstance(c_rel, MomentumCoeffs9)
@@ -659,7 +676,8 @@ def _cheby_strips_applicable(cfg, shape, dtype, c_rel):
     return supports_cheby_strips(shape, dtype)
 
 
-def _cheby_strip_field(x0, c_un, c_rel, mask, cfg, *, is_u: bool):
+def _cheby_strip_field(x0, c_un, c_rel, mask, cfg, *, is_u: bool,
+                       bounds=None):
     """One field through the fused strip kernel.  Returns the same
     ``(x_star, r_field, r_norm)`` as the XLA composition: the kernel's
     masked residual zeroes exactly the complement of the norm region, so
@@ -667,7 +685,9 @@ def _cheby_strip_field(x0, c_un, c_rel, mask, cfg, *, is_u: bool):
     further border mask of it (``_unrelaxed_residual`` margins)."""
     from ..ops.pallas_cheby import chebyshev_momentum_strips
 
-    theta, delta, sigma1 = _chebyshev_bounds(c_rel, mask, cfg.bound_margin)
+    if bounds is None:
+        bounds = _chebyshev_bounds(c_rel, mask, cfg.bound_margin)
+    theta, delta, sigma1 = bounds
     x_star, r_m = chebyshev_momentum_strips(
         x0, c_rel, c_un, theta=theta, delta=delta, sigma1=sigma1,
         degree=cfg.degree)
@@ -677,11 +697,15 @@ def _cheby_strip_field(x0, c_un, c_rel, mask, cfg, *, is_u: bool):
 
 
 def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg,
-                     coeffs=None):
+                     coeffs=None, gersh_rho=None, d_pre=None):
     """u-momentum predictor.  Returns (u_star, d_u, r_field, r_norm).
 
     ``coeffs``: optional precomputed ``(c_un, c_rel)`` pair (the strip-fused
     assembly of :func:`solve_momentum_pair`); BCs must already be applied.
+    ``gersh_rho``: optional raw masked Gershgorin ratio maximum of the
+    relaxed system (folded into the assembly kernel) — used by the
+    Chebyshev solver in place of its own five-array read + max barrier.
+    ``d_pre``: optional precomputed d-coefficient field (same fold).
     """
     u, v = apply_velocity_bcs(u, v, bc)
     if coeffs is not None:
@@ -692,13 +716,17 @@ def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
                                 is_u=True)
         c_rel = _relax(c_un, u, alpha)
     mask = _u_interior_mask(u.shape)
-    d_u = d_coefficient(c_rel.a_p, dy, is_u=True)
+    d_u = (d_pre if d_pre is not None
+           else d_coefficient(c_rel.a_p, dy, is_u=True))
+    bounds = (None if gersh_rho is None
+              else _bounds_from_rho(gersh_rho,
+                                    getattr(cfg, "bound_margin", 1.05)))
     if _cheby_strips_applicable(cfg, u.shape, u.dtype, c_rel):
         u_star, r_field, r_norm = _cheby_strip_field(
-            u, c_un, c_rel, mask, cfg, is_u=True)
+            u, c_un, c_rel, mask, cfg, is_u=True, bounds=bounds)
         u_star, _ = apply_velocity_bcs(u_star, v, bc)
         return u_star, d_u, r_field, r_norm
-    u_star = _inner_solve(u, c_rel, mask, cfg)
+    u_star = _inner_solve(u, c_rel, mask, cfg, bounds=bounds)
     u_star, _ = apply_velocity_bcs(u_star, v, bc)
     r_field, r_norm = _unrelaxed_residual(
         u_star, c_un, is_u=True,
@@ -707,7 +735,7 @@ def solve_u_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
 
 
 def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions, cfg,
-                     coeffs=None):
+                     coeffs=None, gersh_rho=None, d_pre=None):
     """v-momentum predictor.  Returns (v_star, d_v, r_field, r_norm)."""
     u, v = apply_velocity_bcs(u, v, bc)
     if coeffs is not None:
@@ -718,13 +746,17 @@ def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
                                 is_u=False)
         c_rel = _relax(c_un, v, alpha)
     mask = _v_interior_mask(v.shape)
-    d_v = d_coefficient(c_rel.a_p, dx, is_u=False)
+    d_v = (d_pre if d_pre is not None
+           else d_coefficient(c_rel.a_p, dx, is_u=False))
+    bounds = (None if gersh_rho is None
+              else _bounds_from_rho(gersh_rho,
+                                    getattr(cfg, "bound_margin", 1.05)))
     if _cheby_strips_applicable(cfg, v.shape, v.dtype, c_rel):
         v_star, r_field, r_norm = _cheby_strip_field(
-            v, c_un, c_rel, mask, cfg, is_u=False)
+            v, c_un, c_rel, mask, cfg, is_u=False, bounds=bounds)
         _, v_star = apply_velocity_bcs(u, v_star, bc)
         return v_star, d_v, r_field, r_norm
-    v_star = _inner_solve(v, c_rel, mask, cfg)
+    v_star = _inner_solve(v, c_rel, mask, cfg, bounds=bounds)
     _, v_star = apply_velocity_bcs(u, v_star, bc)
     r_field, r_norm = _unrelaxed_residual(
         v_star, c_un, is_u=False,
@@ -733,25 +765,45 @@ def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
 
 
 def solve_momentum_pair(u, v, p, *, dx, dy, rho, mu, alpha,
-                        bc: BoundaryConditions, cfg):
+                        bc: BoundaryConditions, cfg,
+                        poisson_variant: str | None = None):
     """Both momentum predictors, with the coefficient assembly of the two
     fields fused into one strip-blocked Pallas pass on large TPU grids
     (``ops/pallas_assembly.py`` — measured 0.64 ms/iter of XLA assembly at
     1024^2 against a ~0.1 ms streaming roofline).  Falls back to the
     separate :func:`solve_u_momentum` / :func:`solve_v_momentum` path
     everywhere else.  Returns ``((u_star, d_u, r_u, u_norm),
-    (v_star, d_v, r_v, v_norm))``."""
+    (v_star, d_v, r_v, v_norm))``.
+
+    ``poisson_variant``: when set, ALSO returns a third element — the
+    pressure-correction operator ``pc`` folded into the assembly kernel
+    (``fused_assembly_pair(poisson_variant=...)``), or ``None`` where the
+    fused assembly did not run (the caller rebuilds it in XLA)."""
     from ..ops.pallas_assembly import (fused_assembly_pair,
                                       supports_fused_assembly)
 
     nxp1, ny = u.shape
     scheme = getattr(cfg, "scheme", "power_law")
     coeffs = None
+    rho_u = rho_v = None
+    d_u_f = d_v_f = pc_f = None
     if supports_fused_assembly(nxp1 - 1, ny, scheme, u.dtype,
                                getattr(cfg, "backend", "auto")):
         u, v = apply_velocity_bcs(u, v, bc)
-        cu_un, cu_rel, cv_un, cv_rel = fused_assembly_pair(
-            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha)
+        # in-assembly Gershgorin fold: the Chebyshev bounds come out
+        # of the kernel, saving two five-array reads + two barriers
+        want_bounds = (getattr(cfg, "kind", None) == "chebyshev"
+                       and getattr(cfg, "assembly_bounds", "auto") == "auto")
+        res = fused_assembly_pair(
+            u, v, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha,
+            with_bounds=want_bounds, poisson_variant=poisson_variant)
+        cu_un, cu_rel, cv_un, cv_rel = res[:4]
+        i = 4
+        if want_bounds:
+            rho_u, rho_v = res[i:i + 2]
+            i += 2
+        if poisson_variant is not None:
+            d_u_f, d_v_f, pc_f = res[i:i + 3]
         coeffs = (cu_un, cu_rel, cv_un, cv_rel)
 
     if _pair_krylov_applicable(cfg, u.shape, v.shape, u.dtype,
@@ -774,29 +826,38 @@ def solve_momentum_pair(u, v, p, *, dx, dy, rho, mu, alpha,
             vb, cv_rel, _v_interior_mask(vb.shape),
             cfg.tolerance, cfg.max_iterations)
         u_star, v_star = apply_velocity_bcs(u_star, v_star, bc)
-        d_u = d_coefficient(cu_rel.a_p, dy, is_u=True)
-        d_v = d_coefficient(cv_rel.a_p, dx, is_u=False)
+        d_u = (d_u_f if d_u_f is not None
+               else d_coefficient(cu_rel.a_p, dy, is_u=True))
+        d_v = (d_v_f if d_v_f is not None
+               else d_coefficient(cv_rel.a_p, dx, is_u=False))
         comp = getattr(cfg, "compensated_residual", False)
         r_u, u_norm = _unrelaxed_residual(u_star, cu_un, is_u=True,
                                           compensated=comp)
         r_v, v_norm = _unrelaxed_residual(v_star, cv_un, is_u=False,
                                           compensated=comp)
-        return (u_star, d_u, r_u, u_norm), (v_star, d_v, r_v, v_norm)
+        out_u = (u_star, d_u, r_u, u_norm)
+        out_v = (v_star, d_v, r_v, v_norm)
+        return ((out_u, out_v) if poisson_variant is None
+                else (out_u, out_v, pc_f))
 
     if coeffs is not None:
         cu_un, cu_rel, cv_un, cv_rel = coeffs
         out_u = solve_u_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
                                  alpha=alpha, bc=bc, cfg=cfg,
-                                 coeffs=(cu_un, cu_rel))
+                                 coeffs=(cu_un, cu_rel), gersh_rho=rho_u,
+                                 d_pre=d_u_f)
         out_v = solve_v_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
                                  alpha=alpha, bc=bc, cfg=cfg,
-                                 coeffs=(cv_un, cv_rel))
-        return out_u, out_v
+                                 coeffs=(cv_un, cv_rel), gersh_rho=rho_v,
+                                 d_pre=d_v_f)
+        return ((out_u, out_v) if poisson_variant is None
+                else (out_u, out_v, pc_f))
     out_u = solve_u_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
                              alpha=alpha, bc=bc, cfg=cfg)
     out_v = solve_v_momentum(u, v, p, dx=dx, dy=dy, rho=rho, mu=mu,
                              alpha=alpha, bc=bc, cfg=cfg)
-    return out_u, out_v
+    return ((out_u, out_v) if poisson_variant is None
+            else (out_u, out_v, None))
 
 
 def _pair_krylov_applicable(cfg, u_shape, v_shape, dtype, scheme, coeffs):
