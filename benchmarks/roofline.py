@@ -78,13 +78,17 @@ def _assembly_launch_bytes(nx, ny):
     arrays out."""
     from naviflow_tpu.ops.pallas_assembly import PAD, _strip_rows_assembly
 
-    T = _strip_rows_assembly(nx, ny)
+    # folded=True: the production step folds bounds + the poisson
+    # operator into this kernel, which selects the folded strip height
+    T = _strip_rows_assembly(nx, ny, folded=True)
     if not T:
         return None
     W, G = T + 2 * PAD, nx // T
+    # 16 coefficient arrays + d_u/d_v + the 5 poisson-operator arrays
     read = G * (3 * W * _lane(ny + 2) + T * _lane(ny)
                 + T * _lane(ny + 1)) * _B
-    write = (8 * nx * ny + 8 * nx * (ny + 1)) * _B
+    write = (8 * nx * ny + 8 * nx * (ny + 1)) * _B \
+        + (6 * nx * ny + nx * (ny + 1)) * _B
     once = (3 * nx * _lane(ny + 2) + nx * ny + nx * (ny + 1)) * _B + write
     return read + write, once
 

@@ -59,18 +59,32 @@ PAD = 16  # >= the 1-ring halo; keeps DMA offsets and row slices aligned
 # Window cap in cells ((T + 2*PAD) * lane-padded ny).  The assembly traces
 # ~20 live (T+2, ny) temporaries through Mosaic's liveness stack, so its
 # budget is tighter than the smoothing strips'.  96k cells was the
-# empirical bound against the DEFAULT 16 MiB scoped-VMEM stack; under the
-# raised 64 MiB per-kernel limit (pallas_mg.kernel_params) the hardware
-# re-probe (benchmarks/assembly_cap_probe.py, round 5) re-measures it —
-# at 2048^2 the 96k cap forces T=16 (a 3x halo-redundancy tax: W=48 rows
-# DMA'd per 16 owned) and at 4096^2 it excludes the kernel entirely.
-_CAP_CELLS = 96 * 1024
+# empirical bound against the DEFAULT 16 MiB scoped-VMEM stack; the
+# hardware re-probe under the raised 64 MiB per-kernel limit
+# (benchmarks/assembly_cap_probe.py, CYCLE_TIMING kind=assembly-cap,
+# TPU v5e 2026-08-19) measured, bit-exact vs the XLA assembly at every
+# admitted T: 2048^2 T=16 1.098 -> T=128 0.666 ms/assembly; 4096^2
+# excluded -> T=64 3.596 ms.  656k (T=128 at 4096^2) fails to compile
+# (tpu_compile_helper OOM), so the cap stays at the largest size that
+# compiled everywhere: 384k = exactly the 4096^2 T=64 window.
+_CAP_CELLS = 384 * 1024
+
+# The FOLDED kernel (poisson_variant set: 25 outputs — the production
+# configuration at every large grid) carries more live state:
+# at 2048^2 T=128 (348k window cells) the compiler measured a 66.12 MiB
+# scoped allocation against the 64 MiB limit (~190 B/window-cell), so the
+# folded variant gets its own cap: 280k cells ~ 53 MiB estimated, which
+# admits T=64 at 2048^2 (209k) and T=32 at 4096^2 (270k) — both verified
+# compiling + winning on hardware (CYCLE_TIMING kind=gersh-fold /
+# assembly-cap rows, 2026-08-19).
+_CAP_CELLS_FOLDED = 280 * 1024
 
 
-def _strip_rows_assembly(nx: int, ny: int) -> int:
+def _strip_rows_assembly(nx: int, ny: int, folded: bool = False) -> int:
     """Largest strip height whose window fits the assembly VMEM budget."""
+    cap = _CAP_CELLS_FOLDED if folded else _CAP_CELLS
     for T in (128, 64, 32, 16):
-        if nx % T == 0 and (T + 2 * PAD) * ny <= _CAP_CELLS:
+        if nx % T == 0 and (T + 2 * PAD) * ny <= cap:
             return T
     return 0
 
@@ -87,7 +101,9 @@ def supports_fused_assembly(nx, ny, scheme, dtype, backend) -> bool:
         return False
     if nx < 384 or ny < 256:
         return False
-    return _strip_rows_assembly(nx, ny) > 0
+    # gate on the folded budget: the production callers fold bounds +
+    # the poisson operator, and a True here must hold for them too
+    return _strip_rows_assembly(nx, ny, folded=True) > 0
 
 
 def _mk_kernel(nx, ny, T, dx, dy, rho, mu, alpha, poisson_variant=None):
@@ -241,7 +257,10 @@ def fused_assembly_pair(u, v, p, *, dx, dy, rho, mu, alpha,
     arrays the SIMPLE/SIMPLER/PISO bodies otherwise rebuild from HBM."""
     nxp1, ny = u.shape
     nx = nxp1 - 1
-    T = _strip_rows_assembly(nx, ny)
+    # the Gershgorin bound tiles are in the kernel for BOTH with_bounds
+    # settings (discarding them is free), so only the poisson fold's 7
+    # extra outputs change the liveness class
+    T = _strip_rows_assembly(nx, ny, folded=poisson_variant is not None)
     W = T + 2 * PAD
     # rows: PAD+1 on top (so the gT-1 halo row sits at the aligned
     # in-window offset PAD), enough at the bottom for the last window
