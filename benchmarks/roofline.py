@@ -161,6 +161,25 @@ def pallas_step_traffic(nx, pres_cfg, mom_cfg=None):
         for st_, (n, _), five, _ in levels:
             tot += (5 if five else 9) * n * n
         cyc_dma = cyc_once = tot * _B
+    from naviflow_tpu.solvers.momentum import asmcheby_enabled
+
+    if (getattr(mom_cfg, "kind", None) == "chebyshev"
+            and asmcheby_enabled(nx, nx, mom_cfg)):
+        # merged assemble+solve kernel (ops/pallas_asmcheby.py): 5 input
+        # windows per strip, 13 result arrays; NO coefficient round-trip
+        from naviflow_tpu.ops.pallas_asmcheby import (PAD,
+                                                      _strip_rows_merged)
+
+        T = _strip_rows_merged(nx, nx)
+        G = nx // T
+        read = G * (3 * (T + 2 * PAD + 8) * _lane(nx + 3)
+                    + 2 * (T + 2 * PAD) * _lane(nx + 1)) * _B
+        write = (9 * nx * nx + 3 * nx * (nx + 1) + G * 8 * 128) * _B
+        step_dma = read + write
+        step_once = (5 * nx * (nx + 2) + 9 * nx * nx
+                     + 3 * nx * (nx + 1)) * _B
+        return (dict(dma=cyc_dma, once=cyc_once),
+                dict(dma=step_dma, once=step_once))
     step = _assembly_launch_bytes(nx, nx)
     step_dma, step_once = step if step else (0, 0)
     if getattr(mom_cfg, "kind", None) == "chebyshev":

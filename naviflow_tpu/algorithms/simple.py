@@ -66,8 +66,14 @@ class SIMPLEConfig:
 
 
 def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
-                     coarse_mode: str = "carry"):
+                     coarse_mode: str = "carry", lagged_rho: bool = False):
     """One SIMPLE outer iteration as a pure function (u, v, p, extra) ->.
+
+    ``lagged_rho``: carry the momentum systems' masked Gershgorin ratio
+    maxima in ``extra`` and run the merged in-kernel-assembling Chebyshev
+    solve (``ops/pallas_asmcheby.py``) — the caller must set this exactly
+    when ``solvers.momentum.asmcheby_enabled`` is True for the mesh dims
+    (``_build_solve`` does), since it changes the carry pytree shape.
 
     ``extra`` is the pressure rel-norm running max; with a lagged-multigrid
     pressure config it additionally carries (age, coarse Stencil9 tuple) so
@@ -99,6 +105,9 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
                                    pres_cfg, dtype)
 
     def step(u, v, p, extra):
+        rho_pair = None
+        if lagged_rho:
+            extra, rho_pair = extra
         if lagged:
             p_max_l2, mg_extra = extra
         else:
@@ -119,20 +128,31 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
             # always-fresh operators at in-kernel cost)
             extra_out = ((p_max_new, (mg_extra[0] + 1, mg_extra[1]))
                          if lagged else p_max_new)
+            if lagged_rho:  # pragma: no cover - gates are disjoint
+                extra_out = (extra_out, rho_pair)
             return u_new, v_new, p_new, extra_out, info
 
         p_star = p
         # pair form: on large TPU grids the two fields' coefficient
         # assemblies fuse into one strip-blocked pass (pallas_assembly),
         # which also folds the d-coefficients + pressure-correction
-        # operator (pc is None where the fused assembly did not run)
+        # operator (pc is None where the fused assembly did not run);
+        # with the lagged-rho carry the assembly AND the Chebyshev solve
+        # merge into one kernel (pallas_asmcheby) and the coefficient
+        # arrays never touch HBM
         fold = getattr(cfg, "fold_poisson", "auto") == "auto"
-        ((u_star, d_u, r_u, u_norm),
-         (v_star, d_v, r_v, v_norm), pc) = solve_momentum_pair(
+        res = solve_momentum_pair(
             u, v, p_star, dx=dx, dy=dy, rho=rho, mu=mu,
             alpha=cfg.alpha_u, bc=bc, cfg=mom_cfg,
             poisson_variant=(cfg.poisson_variant if fold else None),
+            lagged_rho=rho_pair,
         ) + (() if fold else (None,))
+        if lagged_rho:
+            ((u_star, d_u, r_u, u_norm),
+             (v_star, d_v, r_v, v_norm), pc, rho_pair_new) = res
+        else:
+            ((u_star, d_u, r_u, u_norm),
+             (v_star, d_v, r_v, v_norm), pc) = res
 
         b = pressure_rhs(u_star, v_star, dx=dx, dy=dy, rho=rho, pin=pin)
         if pc is None:
@@ -170,6 +190,8 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
             extra_out = (p_max_l2, (mg_extra[0] + 1, coarse))
         else:
             extra_out = p_max_l2
+        if lagged_rho:
+            extra_out = (extra_out, rho_pair_new)
         return u_new, v_new, p_new, extra_out, info
 
     return step
@@ -177,14 +199,22 @@ def make_simple_step(*, dx, dy, rho, mu, bc, cfg, mom_cfg, pres_cfg,
 
 @functools.lru_cache(maxsize=64)
 def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
+    from ..solvers.momentum import asmcheby_enabled
+
     dx, dy = mesh.get_cell_sizes()
     rho, mu = fluid.get_density(), fluid.get_viscosity()
+    nx, ny = mesh.get_dimensions()
+    # lagged-rho carry for the merged assemble+solve Chebyshev kernel
+    # (requires the poisson fold: pc comes out of the kernel)
+    use_rho = (getattr(cfg, "fold_poisson", "auto") == "auto"
+               and asmcheby_enabled(
+                   nx, ny, mom_cfg,
+                   getattr(mom_cfg, "scheme", "power_law")))
     common = dict(dx=dx, dy=dy, rho=rho, mu=mu, bc=bc, cfg=cfg,
-                  mom_cfg=mom_cfg, pres_cfg=pres_cfg)
+                  mom_cfg=mom_cfg, pres_cfg=pres_cfg, lagged_rho=use_rho)
     step = make_simple_step(**common)
     refresh_step, refresh_every = None, 0
     if uses_lagged_mg(pres_cfg):
-        nx, ny = mesh.get_dimensions()
         mg_extra0 = make_lagged_mg(
             pres_cfg, dx=dx, dy=dy, rho=rho, variant=cfg.poisson_variant
         ).extra0
@@ -193,6 +223,13 @@ def _build_solve(mesh, fluid, bc, cfg, mom_cfg, pres_cfg, loop):
         refresh_every = pres_cfg.coarse_rebuild_every
     else:
         extra0_fn = lambda dt: jnp.asarray(0.0, dt)
+    if use_rho:
+        # first-iteration bounds: the conservative clamp ceiling (see
+        # ops/pallas_asmcheby.py docstring)
+        base_extra0 = extra0_fn
+        extra0_fn = lambda dt: (base_extra0(dt),
+                                (jnp.asarray(0.999, dt),
+                                 jnp.asarray(0.999, dt)))
     return build_solver(
         step, max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
         dx=dx, dy=dy, extra0_fn=extra0_fn, loop=loop,

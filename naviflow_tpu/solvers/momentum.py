@@ -136,6 +136,13 @@ class ChebyshevMomentumConfig:
     # five-array HBM reads + two reduction barriers per outer iteration);
     # 'off' recomputes the bounds in XLA (parity escape hatch)
     assembly_bounds: str = "auto"
+    # 'auto': merge the coefficient assembly INTO the solve kernel on
+    # large TPU grids (ops/pallas_asmcheby.py — the 16 coefficient
+    # arrays never touch HBM; Chebyshev interval from the previous
+    # outer iteration's Gershgorin maxima, carried by the SIMPLE loop);
+    # 'off' keeps the separate assembly + solve kernels (paired-
+    # measurement / parity escape hatch)
+    merged_assembly: str = "auto"
     kind: str = "chebyshev"
 
 
@@ -764,9 +771,31 @@ def solve_v_momentum(u, v, p, *, dx, dy, rho, mu, alpha, bc: BoundaryConditions,
     return v_star, d_v, r_field, r_norm
 
 
+def asmcheby_enabled(nx, ny, cfg, scheme="power_law",
+                     dtype=jnp.float32) -> bool:
+    """Static gate for the merged in-kernel-assembling Chebyshev path
+    (``ops/pallas_asmcheby.py``).  The SIMPLE loop uses this to decide —
+    at build time, from the mesh dims — whether to carry the lagged
+    Gershgorin maxima in its ``extra`` state; it must therefore predict
+    :func:`solve_momentum_pair`'s merged branch exactly."""
+    if getattr(cfg, "kind", None) != "chebyshev":
+        return False
+    if getattr(cfg, "backend", "auto") not in ("auto", "pallas"):
+        return False
+    if getattr(cfg, "merged_assembly", "auto") == "off":
+        return False
+    if getattr(cfg, "compensated_residual", False):
+        return False  # the compensated residual stays on the XLA path
+    from ..ops.pallas_asmcheby import supports_asmcheby
+
+    return supports_asmcheby(nx, ny, scheme, dtype,
+                             getattr(cfg, "backend", "auto"), cfg.degree)
+
+
 def solve_momentum_pair(u, v, p, *, dx, dy, rho, mu, alpha,
                         bc: BoundaryConditions, cfg,
-                        poisson_variant: str | None = None):
+                        poisson_variant: str | None = None,
+                        lagged_rho=None):
     """Both momentum predictors, with the coefficient assembly of the two
     fields fused into one strip-blocked Pallas pass on large TPU grids
     (``ops/pallas_assembly.py`` — measured 0.64 ms/iter of XLA assembly at
@@ -778,12 +807,51 @@ def solve_momentum_pair(u, v, p, *, dx, dy, rho, mu, alpha,
     ``poisson_variant``: when set, ALSO returns a third element — the
     pressure-correction operator ``pc`` folded into the assembly kernel
     (``fused_assembly_pair(poisson_variant=...)``), or ``None`` where the
-    fused assembly did not run (the caller rebuilds it in XLA)."""
+    fused assembly did not run (the caller rebuilds it in XLA).
+
+    ``lagged_rho``: when not None — a ``(rho_u, rho_v)`` pair of the
+    previous outer iteration's masked Gershgorin ratio maxima — run the
+    merged assemble+solve kernel (``ops/pallas_asmcheby.py``: the 16
+    coefficient arrays never touch HBM; the Chebyshev interval comes
+    from the lagged maxima) and return a FOURTH element, the fresh
+    ``(rho_u, rho_v)`` pair for the next iteration.  The caller must
+    pass this only when :func:`asmcheby_enabled` is True for the same
+    configuration (the SIMPLE loop's ``extra``-carry shape depends on
+    it)."""
     from ..ops.pallas_assembly import (fused_assembly_pair,
                                       supports_fused_assembly)
 
     nxp1, ny = u.shape
     scheme = getattr(cfg, "scheme", "power_law")
+    if lagged_rho is not None:
+        if not asmcheby_enabled(nxp1 - 1, ny, cfg, scheme, u.dtype):
+            raise ValueError(
+                "lagged_rho passed but the merged asmcheby kernel is not "
+                "applicable here — the caller's static gate is out of "
+                "sync with asmcheby_enabled")
+        if poisson_variant is None:
+            raise ValueError("the merged asmcheby path requires the "
+                             "poisson fold (poisson_variant set)")
+        from ..ops.pallas_asmcheby import fused_asmcheby_pair
+
+        margin = getattr(cfg, "bound_margin", 1.05)
+        ub, vb = apply_velocity_bcs(u, v, bc)
+        (u_star, r_u, v_star, r_v, d_u, d_v, pc,
+         rho_u_new, rho_v_new) = fused_asmcheby_pair(
+            ub, vb, p, dx=dx, dy=dy, rho=rho, mu=mu, alpha=alpha,
+            degree=cfg.degree,
+            bounds_u=_bounds_from_rho(lagged_rho[0], margin),
+            bounds_v=_bounds_from_rho(lagged_rho[1], margin),
+            poisson_variant=poisson_variant)
+        u_star, v_star = apply_velocity_bcs(u_star, v_star, bc)
+        # norms + diagnostics margins: _cheby_strip_field semantics (the
+        # kernel's masked residual complement IS the norm region)
+        u_norm = jnp.linalg.norm(r_u)
+        v_norm = jnp.linalg.norm(r_v)
+        r_u = jnp.where(interior_mask(r_u.shape, 2, 2, 1, 1), r_u, 0.0)
+        r_v = jnp.where(interior_mask(r_v.shape, 1, 1, 2, 2), r_v, 0.0)
+        return ((u_star, d_u, r_u, u_norm), (v_star, d_v, r_v, v_norm),
+                pc, (rho_u_new, rho_v_new))
     coeffs = None
     rho_u = rho_v = None
     d_u_f = d_v_f = pc_f = None
