@@ -61,6 +61,15 @@ def main():
         ("ce1_pre1post1", dict(check_every=1, pre_smoothing=1,
                                post_smoothing=1)),
         ("rebuild16", dict(coarse_rebuild_every=16)),
+        # fixed-cycle fast path (tolerance<=0 -> fori_loop, no per-check
+        # residual apply+norm; round-5, post-merged-kernel): the adaptive
+        # ce1 config averages ~1-2 cycles/step, so fixed 1/2 cycles with
+        # zero check overhead may beat it if the outer trajectory holds
+        ("fixed1_pre1post1", dict(tolerance=0.0, max_cycles=1,
+                                  pre_smoothing=1, post_smoothing=1)),
+        ("fixed2_pre1post1", dict(tolerance=0.0, max_cycles=2,
+                                  pre_smoothing=1, post_smoothing=1)),
+        ("fixed2", dict(tolerance=0.0, max_cycles=2)),
     ]
     only = os.environ.get("CYCLE_PROBE_ONLY")
     if only:

@@ -498,29 +498,48 @@ def multigrid_solve(
             ec = _cycle0(jnp.zeros_like(rc), rc, levels[1:], cfg)
             return plane_fine_up(R, B, ps, ec, cfg.post_smoothing)
 
-        def body_p(carry):
-            R, B, k, _ = carry
+        if cfg.tolerance <= 0.0:
+            # fixed-cycle fast path: no per-check residual apply+norm, no
+            # while-loop carry plumbing — exactly max_cycles cycles.  The
+            # final residual (computed below for the diagnostics anyway)
+            # supplies rel.  Measured at 1024^2 (CYCLE_TIMING
+            # kind=cycle-budget fixed rows).
             R, B = jax.lax.fori_loop(
-                0, cfg.check_every, lambda _, q: one_cycle(q), (R, B))
-            rel = plane_residual_norm(R, B, ps) / safe_bnorm
-            return (R, B, k + cfg.check_every, rel)
+                0, cfg.max_cycles, lambda _, q: one_cycle(q), (R0, B0))
+            cycles = jnp.asarray(cfg.max_cycles, jnp.int32)
+            rel = None
+        else:
+            def body_p(carry):
+                R, B, k, _ = carry
+                R, B = jax.lax.fori_loop(
+                    0, cfg.check_every, lambda _, q: one_cycle(q), (R, B))
+                rel = plane_residual_norm(R, B, ps) / safe_bnorm
+                return (R, B, k + cfg.check_every, rel)
 
-        R, B, cycles, rel = jax.lax.while_loop(
-            cond_p, body_p, (R0, B0, jnp.asarray(0, jnp.int32), big))
+            R, B, cycles, rel = jax.lax.while_loop(
+                cond_p, body_p, (R0, B0, jnp.asarray(0, jnp.int32), big))
         p = merge_planes(R, B)
     else:
-        def body(carry):
-            p, k, _ = carry
+        if cfg.tolerance <= 0.0:
             p = jax.lax.fori_loop(
-                0, cfg.check_every, lambda _, q: _cycle0(q, b, levels, cfg), p
-            )
-            rel = jnp.linalg.norm(
-                b - apply_five(p, st_fine, five_fine)) / safe_bnorm
-            return (p, k + cfg.check_every, rel)
+                0, cfg.max_cycles,
+                lambda _, q: _cycle0(q, b, levels, cfg), p_start)
+            cycles = jnp.asarray(cfg.max_cycles, jnp.int32)
+            rel = None
+        else:
+            def body(carry):
+                p, k, _ = carry
+                p = jax.lax.fori_loop(
+                    0, cfg.check_every,
+                    lambda _, q: _cycle0(q, b, levels, cfg), p
+                )
+                rel = jnp.linalg.norm(
+                    b - apply_five(p, st_fine, five_fine)) / safe_bnorm
+                return (p, k + cfg.check_every, rel)
 
-        p, cycles, rel = jax.lax.while_loop(
-            cond, body, (p_start, jnp.asarray(0, jnp.int32), big)
-        )
+            p, cycles, rel = jax.lax.while_loop(
+                cond, body, (p_start, jnp.asarray(0, jnp.int32), big)
+            )
     if variant != "reference":
         # Gauge-free (singular) operator: remove the constant mode.  The
         # 'reference' variant folds boundary faces into the diagonal, making
@@ -528,6 +547,8 @@ def multigrid_solve(
         # residual in the returned diagnostics.
         p = p - jnp.mean(p)
     r = b - apply_five(p, st_fine, five_fine)
+    if rel is None:  # fixed-cycle fast path: rel from the final residual
+        rel = jnp.linalg.norm(r) / safe_bnorm
     return p, PressureSolveInfo(iterations=cycles, residual_field=r, rel_residual=rel)
 
 
