@@ -375,13 +375,24 @@ def _bench_large_grid(nx, re, n_iters=30):
     # 40-step residual — available via ChebyshevMomentumConfig(degree=6))
     mom = (ChebyshevMomentumConfig(degree=4) if mom_kind == "cheby"
            else KrylovMomentumConfig(tolerance=1e-6, max_iterations=5))
-    # Cycle budget by size (benchmarks/cycle_budget_probe.py, 300-fixed-step
-    # residual identical to 7 digits, CYCLE_TIMING kind=cycle-budget):
-    # at 1024^2 check_every=1 + 1/1 smoothing wins 1.462 vs 1.871 ms/iter
-    # (ce2 overshoots a wasted cycle; lighter sweeps amortize), while at
-    # 2048^2 the SAME candidate loses 8.112 vs 7.461 — the bandwidth-bound
-    # regime prefers fewer, heavier cycles.  Gate at 2048.
-    if nx < 2048:
+    # Cycle budget (benchmarks/cycle_budget_probe.py, CYCLE_TIMING
+    # kind=cycle-budget): ONE fixed V-cycle per outer step, no adaptive
+    # residual check (tolerance=0 -> the fori fast path).  SIMPLE
+    # re-linearizes every outer step, so extra pressure accuracy within a
+    # step buys nothing: the 12,000-iteration chunked trajectories of
+    # fixed1 / fixed2 / the round-5 adaptive config agree to SIX
+    # significant digits at 1024^2 (kind=cycle-budget *-converge rows),
+    # and the 40-fixed-step residuals to 4-5 digits at every size.
+    # Paired ms/iter: 1024^2 0.684 vs 1.222 adaptive; 2048^2 4.414 vs
+    # 6.41.  BENCH_FIXED_CYCLES=0 restores the round-5 adaptive configs.
+    if os.environ.get("BENCH_FIXED_CYCLES", "1") == "1":
+        # smoothing 1/1 below 2048 (the probed fixed1_pre1post1), the
+        # 2/2 default at >= 2048 (the probed fixed1)
+        pres = MultigridConfig(tolerance=0.0, max_cycles=1, cycle_type="v",
+                               pre_smoothing=1 if nx < 2048 else 2,
+                               post_smoothing=1 if nx < 2048 else 2,
+                               coarsest_sweeps=32, coarse_rebuild_every=8)
+    elif nx < 2048:
         pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
                                check_every=1, pre_smoothing=1,
                                post_smoothing=1, coarsest_sweeps=32,

@@ -70,6 +70,7 @@ def main():
         ("fixed2_pre1post1", dict(tolerance=0.0, max_cycles=2,
                                   pre_smoothing=1, post_smoothing=1)),
         ("fixed2", dict(tolerance=0.0, max_cycles=2)),
+        ("fixed1", dict(tolerance=0.0, max_cycles=1)),
     ]
     only = os.environ.get("CYCLE_PROBE_ONLY")
     if only:
