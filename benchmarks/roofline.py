@@ -238,9 +238,13 @@ def measure(nx, n_iters):
     mom = (ChebyshevMomentumConfig(degree=4)
            if os.environ.get("BENCH_MOM", "cheby") == "cheby"
            else KrylovMomentumConfig(tolerance=1e-6, max_iterations=5))
-    pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",
-                           check_every=2, coarsest_sweeps=32,
-                           coarse_rebuild_every=8)
+    # bench.py's round-5 production config: ONE fixed V-cycle per outer
+    # step (tolerance<=0 fori fast path; trajectory-certified — see
+    # CYCLE_TIMING kind=cycle-budget *-converge rows)
+    pres = MultigridConfig(tolerance=0.0, max_cycles=1, cycle_type="v",
+                           pre_smoothing=1 if nx < 2048 else 2,
+                           post_smoothing=1 if nx < 2048 else 2,
+                           coarsest_sweeps=32, coarse_rebuild_every=8)
 
     def solve(s):
         return simple_solve(mesh, fluid, bc, s, cfg, momentum=mom,
