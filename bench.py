@@ -119,6 +119,11 @@ def main():
         "max_divergence": float(diag.max_divergence),
         "ghia_infinity_error": round(err, 5),
         "ghia_passed": bool(err < GHIA_GATE),
+        # expected False at this row's 1e-3 parity tolerance (the reference's
+        # own 63^2 run does not pass its 10% gate at 1e-3 either); the
+        # gate-quality verdict of record is validated.ghia_passed below
+        "ghia_note": "speed-parity row at reference tolerance 1e-3; "
+                     "see 'validated' for the 1e-5 gate verdict",
         "mlups_outer": round(iters * nx * nx / wall / 1e6, 3),
         "device": str(jax.devices()[0]),
     }
@@ -383,14 +388,16 @@ def _bench_large_grid(nx, re, n_iters=30):
     # fixed1 / fixed2 / the round-5 adaptive config agree to SIX
     # significant digits at 1024^2 (kind=cycle-budget *-converge rows),
     # and the 40-fixed-step residuals to 4-5 digits at every size.
-    # Paired ms/iter: 1024^2 0.684 vs 1.222 adaptive; 2048^2 4.414 vs
+    # Paired ms/iter: 1024^2 0.684 vs 1.222 adaptive; 2048^2 4.127 vs
     # 6.41.  BENCH_FIXED_CYCLES=0 restores the round-5 adaptive configs.
     if os.environ.get("BENCH_FIXED_CYCLES", "1") == "1":
-        # smoothing 1/1 below 2048 (the probed fixed1_pre1post1), the
-        # 2/2 default at >= 2048 (the probed fixed1)
+        # 1/1 smoothing at EVERY size (probed fixed1_pre1post1): beats the
+        # 2/2 fixed1 4.127 vs 4.414 ms/iter at 2048^2 (>= 1 GLUPS) and
+        # 24.41 vs 25.80 at 4096^2, 40/30-step residuals equal to 4-5
+        # digits and the 6000-iteration 2048^2 trajectory equal to 6
+        # digits (CYCLE_TIMING kind=cycle-budget, 2026-08-20 rows)
         pres = MultigridConfig(tolerance=0.0, max_cycles=1, cycle_type="v",
-                               pre_smoothing=1 if nx < 2048 else 2,
-                               post_smoothing=1 if nx < 2048 else 2,
+                               pre_smoothing=1, post_smoothing=1,
                                coarsest_sweeps=32, coarse_rebuild_every=8)
     elif nx < 2048:
         pres = MultigridConfig(tolerance=1e-2, max_cycles=8, cycle_type="v",

@@ -35,7 +35,7 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _emit(row):
-    row = dict(row, kind="cycle-budget", date="2026-08-19",
+    row = dict(row, kind="cycle-budget", date=time.strftime("%Y-%m-%d"),
                hw=str(jax.devices()[0]))
     print(json.dumps(row), flush=True)
     with open(OUT, "a") as f:
